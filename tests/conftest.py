@@ -1,0 +1,19 @@
+"""Test harness: force JAX onto a virtual 8-device CPU platform so that
+multi-chip sharding (pjit over a Mesh) is exercised without TPU hardware,
+per SURVEY.md §4's test plan."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force off any tunneled TPU platform
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
