@@ -1,0 +1,51 @@
+"""VoxelNet detector assembly (detectors/voxelnet_sessd.py:5-43).
+
+reader (mean VFE) -> sparse middle backbone -> SSFA neck -> multi-group head.
+The module is purely functional feature extraction; the SE-SSD training
+semantics (teacher on raw voxels, student on augmented ones, EMA) live in
+the jitted train step — there is no ``is_ema`` flag because teacher and
+student are just two parameter pytrees applied to two input pytrees.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .backbone import SpMiddleFHD
+from .head import MultiGroupHead
+from .ssfa import SSFA
+from .vfe import VoxelFeatureExtractorV3
+
+
+class VoxelNet(nn.Module):
+    num_input_features: int = 4
+    sparse_shape: Tuple[int, int, int] = (41, 1600, 1408)
+    tasks: Sequence[dict] = (dict(num_class=1, class_names=("Car",)),)
+    use_norm: bool = True
+    axis_name: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    stage_capacity: Tuple[int, ...] = (20000, 26000, 26000, 18000, 12000)
+
+    @nn.compact
+    def __call__(self, voxels, coords_bzyx, num_points, valid, batch_size: int,
+                 train: bool = False):
+        """Returns the list of per-task prediction dicts.
+
+        voxels: [B*V, P, F]; coords_bzyx: [B*V, 4]; num_points: [B*V];
+        valid: [B*V] bool.
+        """
+        feats = VoxelFeatureExtractorV3(self.num_input_features, dtype=self.dtype)(
+            voxels, num_points)
+        bev = SpMiddleFHD(
+            num_input_features=self.num_input_features,
+            use_norm=self.use_norm,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            stage_capacity=self.stage_capacity,
+            name="backbone",
+        )(feats, coords_bzyx, valid, batch_size, self.sparse_shape, train)
+        bev = SSFA(axis_name=self.axis_name, dtype=self.dtype, name="neck")(bev, train)
+        preds = MultiGroupHead(tasks=tuple(self.tasks), dtype=self.dtype, name="head")(bev)
+        return preds
