@@ -1,0 +1,321 @@
+"""SE-SSD losses in JAX — focal cls, ODIoU reg, direction, IoU-prediction,
+and the teacher/student consistency loss, all fixed-shape.
+
+Ports the semantics of:
+- losses.py:147-202 (WeightedSmoothL1, sigma=3, codewise),
+- losses.py:365-420 (SigmoidFocalLoss, alpha=.25, gamma=2),
+- losses.py:498-531 (WeightedSoftmaxClassificationLoss),
+- mg_head_sessd.py:525-705 (prepare_loss_weights / nn_distance /
+  consistency_loss) and :706-808 (loss composition).
+
+Where the reference boolean-masks dynamic numbers of positives/detections,
+we gather a fixed top-K with validity masks — identical numerics, static
+shapes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import box_jax
+from ..core.odiou import odiou_3d
+from ..core.rotated_iou import iou_3d, iou_bev_matrix
+
+
+# ---------------------------------------------------------------------------
+# elementary losses
+# ---------------------------------------------------------------------------
+
+def smooth_l1(diff: jnp.ndarray, sigma: float = 3.0) -> jnp.ndarray:
+    """Elementwise smooth-L1 with the sigma^2 knee (losses.py:184-191)."""
+    s2 = sigma ** 2
+    ad = jnp.abs(diff)
+    return jnp.where(ad <= 1.0 / s2, 0.5 * s2 * ad * ad, ad - 0.5 / s2)
+
+
+def weighted_smooth_l1(pred, target, weights=None, sigma: float = 3.0):
+    """[..., C] codewise loss, scaled by [...]-shaped weights."""
+    loss = smooth_l1(pred - target, sigma)
+    if weights is not None:
+        loss = loss * weights[..., None]
+    return loss
+
+
+def sigmoid_focal_loss(logits, onehot_targets, weights=None,
+                       alpha: float = 0.25, gamma: float = 2.0):
+    """[..., C] focal loss (losses.py:387-419)."""
+    per_entry = jnp.maximum(logits, 0) - logits * onehot_targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    p = jax.nn.sigmoid(logits)
+    p_t = onehot_targets * p + (1 - onehot_targets) * (1 - p)
+    mod = jnp.power(1.0 - p_t, gamma)
+    aw = onehot_targets * alpha + (1 - onehot_targets) * (1 - alpha)
+    loss = mod * aw * per_entry
+    if weights is not None:
+        loss = loss * weights[..., None]
+    return loss
+
+
+def softmax_ce_loss(logits, onehot_targets, weights=None):
+    """[...]-shaped cross entropy (losses.py:515-531)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.sum(onehot_targets * logp, axis=-1)
+    if weights is not None:
+        ce = ce * weights
+    return ce
+
+
+# ---------------------------------------------------------------------------
+# target plumbing
+# ---------------------------------------------------------------------------
+
+def prepare_loss_weights(labels: jnp.ndarray):
+    """labels [B, A] in {-1, 0, 1..} -> (cls_w, reg_w, cared), all [B, A].
+
+    NormByNumPositives (mg_head_sessd.py:525-571): both weights divided by
+    the per-sample positive count.
+    """
+    cared = labels >= 0
+    positives = labels > 0
+    negatives = labels == 0
+    cls_weights = negatives.astype(jnp.float32) + positives.astype(jnp.float32)
+    reg_weights = positives.astype(jnp.float32)
+    pos_norm = jnp.maximum(jnp.sum(reg_weights, axis=1, keepdims=True), 1.0)
+    return cls_weights / pos_norm, reg_weights / pos_norm, cared
+
+
+def get_direction_target(anchors, reg_targets, dir_offset: float = 0.0):
+    """[B, A, 7] -> one-hot [B, A, 2] (mg_head_sessd.py:63-77)."""
+    rot_gt = reg_targets[..., -1] + anchors[..., -1]
+    d = ((rot_gt - dir_offset) > 0).astype(jnp.int32)
+    return jax.nn.one_hot(d, 2, dtype=anchors.dtype)
+
+
+def gather_positives(labels: jnp.ndarray, k: int):
+    """Pick up to K positive anchor indices per sample (static shape).
+
+    Returns (idx [B, K], mask [B, K]).
+    """
+    score = (labels > 0).astype(jnp.float32)
+    vals, idx = jax.lax.top_k(score, k)
+    return idx, vals > 0
+
+
+# ---------------------------------------------------------------------------
+# consistency loss (teacher/student)
+# ---------------------------------------------------------------------------
+
+class ConsistencyConfig(NamedTuple):
+    score_thresh: float = 0.3
+    iou_match_thresh: float = 0.7
+    top_k: int = 256
+    post_center_range: tuple = (0.0, -40.0, -5.0, 70.4, 40.0, 5.0)
+
+
+def _transform_teacher_boxes(boxes, flipped, noise_rotation, noise_scale):
+    """Replay the student's recorded global augmentation on teacher boxes
+    (mg_head_sessd.py:666-674): flip y / mirror heading, rotate about z,
+    scale everything but the heading."""
+    y = jnp.where(flipped, -boxes[..., 1], boxes[..., 1])
+    r = jnp.where(flipped, -boxes[..., 6] + jnp.pi, boxes[..., 6])
+    b = jnp.concatenate(
+        [boxes[..., 0:1], y[..., None], boxes[..., 2:6], r[..., None]], axis=-1)
+    xyz = box_jax.rotation_points_z(b[..., :3], noise_rotation)
+    r2 = b[..., 6] + noise_rotation
+    b = jnp.concatenate([xyz, b[..., 3:6], r2[..., None]], axis=-1)
+    return jnp.concatenate([b[..., :6] * noise_scale, b[..., 6:7]], axis=-1)
+
+
+def consistency_loss_single(
+    boxes_stu, cls_stu, dir_stu, iou_stu,
+    boxes_tea, cls_tea, dir_tea, iou_tea,
+    flipped, noise_rotation, noise_scale,
+    cfg: ConsistencyConfig,
+):
+    """One sample. All preds are [A, .]; boxes already decoded.
+
+    Mirrors mg_head_sessd.py:618-703 with fixed top-K subsets instead of
+    boolean masking. Returns (box_l, cls_l, iou_l, dir_l) scalars.
+    """
+    pcr = jnp.asarray(cfg.post_center_range)
+
+    def topk_valid(boxes, cls):
+        score = jax.nn.sigmoid(cls[..., 0])
+        in_range = jnp.all(boxes[:, :3] >= pcr[:3], axis=-1) & jnp.all(
+            boxes[:, :3] <= pcr[3:], axis=-1)
+        ok = (score >= cfg.score_thresh) & in_range
+        vals, idx = jax.lax.top_k(jnp.where(ok, score, -1.0), cfg.top_k)
+        return idx, vals > 0
+
+    idx_s, m_s = topk_valid(boxes_stu, cls_stu)
+    idx_t, m_t = topk_valid(boxes_tea, cls_tea)
+
+    bs = boxes_stu[idx_s]
+    bt = _transform_teacher_boxes(boxes_tea[idx_t], flipped, noise_rotation, noise_scale)
+
+    iou = iou_bev_matrix(bs, bt)  # [K, K]
+    iou = jnp.where(m_s[:, None] & m_t[None, :], iou, 0.0)
+    best_t = jnp.max(iou, axis=1)
+    best_s = jnp.max(iou, axis=0)
+    mask1 = (best_t > cfg.iou_match_thresh) & m_s  # student boxes with a match
+    mask2 = (best_s > cfg.iou_match_thresh) & m_t  # teacher boxes with a match
+
+    # restrict to matched columns, then argmax per student row (nn_distance)
+    iou_r = jnp.where(mask1[:, None] & mask2[None, :], iou, -1.0)
+    match_t = jnp.argmax(iou_r, axis=1)  # per student: teacher slot
+
+    n_pairs = jnp.sum(mask1)
+    has_pairs = (n_pairs > 0) & (jnp.sum(mask2) > 0)
+    denom = jnp.maximum(n_pairs, 1).astype(jnp.float32)
+
+    # box term: smooth-L1 on sin-difference encoding, /7, mean over pairs
+    tgt = bt[match_t]
+    e1, e2 = box_jax.add_sin_difference(bs, tgt)
+    box_l = jnp.sum(smooth_l1(e1 - e2), axis=-1) / 7.0
+    box_l = jnp.sum(jnp.where(mask1, box_l, 0.0)) / denom
+
+    # score term
+    ss = jax.nn.sigmoid(cls_stu[idx_s][:, 0])
+    st = jax.nn.sigmoid(cls_tea[idx_t][match_t][:, 0])
+    cls_l = jnp.sum(jnp.where(mask1, smooth_l1(ss - st), 0.0)) / denom
+
+    # iou-prediction term (both mapped to [0, 1])
+    is_ = (iou_stu[idx_s][:, 0] + 1.0) * 0.5
+    it_ = (iou_tea[idx_t][match_t][:, 0] + 1.0) * 0.5
+    iou_l = jnp.sum(jnp.where(mask1, smooth_l1(is_ - it_), 0.0)) / denom
+
+    # dir term: MSE between softmaxed distributions (logged, not summed —
+    # mg_head_sessd.py:704 excludes it from the total)
+    ds = jax.nn.softmax(dir_stu[idx_s], axis=-1)
+    dt = jax.nn.softmax(dir_tea[idx_t][match_t], axis=-1)
+    dir_l = jnp.sum(jnp.where(mask1[:, None], (ds - dt) ** 2, 0.0)) / (2.0 * denom)
+
+    zero = jnp.float32(0.0)
+    return (
+        jnp.where(has_pairs, box_l, zero),
+        jnp.where(has_pairs, cls_l, zero),
+        jnp.where(has_pairs, iou_l, zero),
+        jnp.where(has_pairs, dir_l, zero),
+    )
+
+
+def consistency_loss(preds_stu, preds_tea, anchors, transformation,
+                     cfg: ConsistencyConfig = ConsistencyConfig()):
+    """Batched consistency loss (mg_head_sessd.py:618-703).
+
+    preds_*: task-0 dicts with [B, A, .] arrays; anchors [B, A, 7];
+    transformation: dict of [B]-shaped flipped/noise_rotation/noise_scale.
+    Returns (consistency_total, dir_term) scalars; total =
+    (box + cls + iou) / batch as in mg_head_sessd.py:704.
+    """
+    boxes_stu = box_jax.second_box_decode(preds_stu["box_preds"], anchors)
+    boxes_tea = box_jax.second_box_decode(preds_tea["box_preds"], anchors)
+
+    f = jax.vmap(consistency_loss_single, in_axes=(0,) * 11 + (None,))
+    box_l, cls_l, iou_l, dir_l = f(
+        boxes_stu, preds_stu["cls_preds"], preds_stu["dir_cls_preds"], preds_stu["iou_preds"],
+        boxes_tea, preds_tea["cls_preds"], preds_tea["dir_cls_preds"], preds_tea["iou_preds"],
+        transformation["flipped"], transformation["noise_rotation"],
+        transformation["noise_scale"], cfg,
+    )
+    b = boxes_stu.shape[0]
+    total = (jnp.sum(box_l) + jnp.sum(cls_l) + jnp.sum(iou_l)) / b
+    return total, jnp.sum(dir_l) / b
+
+
+# ---------------------------------------------------------------------------
+# full head loss
+# ---------------------------------------------------------------------------
+
+class LossConfig(NamedTuple):
+    cls_loss_weight: float = 1.0
+    loc_loss_weight: float = 2.0
+    dir_loss_weight: float = 0.2
+    focal_alpha: float = 0.25
+    focal_gamma: float = 2.0
+    smooth_l1_sigma: float = 3.0
+    direction_offset: float = 0.0
+    max_positive_anchors: int = 256
+    consistency: ConsistencyConfig = ConsistencyConfig()
+
+
+def detection_loss(preds, batch, cfg: LossConfig = LossConfig(),
+                   labels_key="labels", reg_targets_key="reg_targets",
+                   include_odiou: bool = True):
+    """Supervised SE-SSD loss for one task head (mg_head_sessd.py:706-808).
+
+    total = focal_cls + ODIoU_reg + dir + iou_pred. The plain SmoothL1
+    loc loss is computed for metrics parity but (like the reference, which
+    sums ``ious_loss`` instead of ``loc_loss_reduced``) is not in the total.
+
+    preds: dict of [B, A, .]; batch: anchors [B, A, 7], labels [B, A],
+    reg_targets [B, A, 7].
+    Returns (total, metrics dict).
+    """
+    anchors = batch["anchors"]
+    labels = batch[labels_key]
+    reg_targets = batch[reg_targets_key]
+    b = labels.shape[0]
+
+    cls_w, reg_w, cared = prepare_loss_weights(labels)
+    cls_targets = (labels * cared).astype(jnp.float32)[..., None]
+
+    box_preds = preds["box_preds"]
+    cls_preds = preds["cls_preds"]
+
+    # classification (sigmoid focal, background-as-zeros single class)
+    cls_loss = sigmoid_focal_loss(cls_preds, cls_targets, cls_w,
+                                  cfg.focal_alpha, cfg.focal_gamma)
+    cls_loss_reduced = cfg.cls_loss_weight * jnp.sum(cls_loss) / b
+
+    # localization metric (sin-difference smooth-L1)
+    ebp, ert = box_jax.add_sin_difference(box_preds, reg_targets)
+    loc_loss = weighted_smooth_l1(ebp, ert, reg_w, cfg.smooth_l1_sigma)
+    loc_loss_reduced = cfg.loc_loss_weight * jnp.sum(loc_loss) / b
+
+    # direction classifier
+    dir_targets = get_direction_target(anchors, reg_targets, cfg.direction_offset)
+    dw = (labels > 0).astype(jnp.float32)
+    dw = dw / jnp.maximum(jnp.sum(dw, axis=-1, keepdims=True), 1.0)
+    dir_loss = softmax_ce_loss(preds["dir_cls_preds"], dir_targets, dw)
+    dir_loss_reduced = cfg.dir_loss_weight * jnp.sum(dir_loss) / b
+
+    # positives gathered to fixed K for the rotated-geometry terms
+    pos_idx, pos_mask = gather_positives(labels, cfg.max_positive_anchors)
+    take = lambda x: jnp.take_along_axis(x, pos_idx[..., None], axis=1)
+    pos_anchors = take(anchors)
+    pos_w = jnp.take_along_axis(reg_w, pos_idx, axis=1) * pos_mask
+    qboxes = box_jax.second_box_decode(take(box_preds), pos_anchors)
+    gboxes = box_jax.second_box_decode(take(reg_targets), pos_anchors)
+
+    # IoU prediction head: targets 2*iou3d-1, smooth-L1 (.759-768)
+    iou_t = jax.lax.stop_gradient(iou_3d(jax.lax.stop_gradient(qboxes), gboxes))
+    iou_targets = (2.0 * iou_t - 1.0)[..., None]
+    iou_p = take(preds["iou_preds"])
+    iou_pred_loss = jnp.sum(weighted_smooth_l1(iou_p, iou_targets, pos_w)) / b
+
+    # ODIoU regression on positives (.771-777 -> odious.py:845-899)
+    if include_odiou:
+        od = odiou_3d(gboxes, qboxes)
+        ious_loss = 2.0 * jnp.sum(od * pos_w) / b
+    else:
+        ious_loss = jnp.float32(0.0)
+
+    total = cls_loss_reduced + ious_loss + dir_loss_reduced + iou_pred_loss
+
+    pos_sum = jnp.sum((labels > 0).astype(jnp.float32) * cls_loss[..., 0]) / b
+    neg_sum = jnp.sum((labels == 0).astype(jnp.float32) * cls_loss[..., 0]) / b
+    metrics = {
+        "cls_loss_reduced": cls_loss_reduced,
+        "loc_loss_reduced": loc_loss_reduced,
+        "dir_loss_reduced": dir_loss_reduced,
+        "iou_pred_loss": iou_pred_loss,
+        "ious_loss": ious_loss,
+        "cls_pos_loss": pos_sum,
+        "cls_neg_loss": neg_sum,
+        "num_pos": jnp.sum(labels > 0) / b,
+        "num_neg": jnp.sum(labels == 0) / b,
+    }
+    return total, metrics

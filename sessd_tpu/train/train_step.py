@@ -1,0 +1,153 @@
+"""The SE-SSD training step — teacher forward + student forward + all losses
++ EMA update in ONE jitted function.
+
+This replaces the reference's trainer/hook/DDP/apex machinery
+(trainer_sessd.py:248-360): the teacher is not a second process-wrapped
+module but a second parameter pytree living in the train state; the EMA
+update (alpha = min(1 - 1/(step+1), 0.999), trainer_sessd.py:315-318) is a
+tree_map; gradient all-reduce across the data mesh axis is emitted by XLA
+under pjit.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .losses import LossConfig, consistency_loss, detection_loss
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any              # student
+    batch_stats: Any         # student BN running stats
+    ema_params: Any          # teacher
+    ema_batch_stats: Any     # teacher BN running stats
+    opt_state: Any
+
+
+def sigmoid_rampup(epoch, rampup_epochs: float = 15.0):
+    """Consistency-weight ramp (trainer_sessd.py:305-312)."""
+    current = jnp.clip(epoch, 0.0, rampup_epochs)
+    phase = 1.0 - current / rampup_epochs
+    return jnp.exp(-5.0 * phase * phase)
+
+
+def create_train_state(model, optimizer, sample_batch, batch_size, rng=None):
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = model.init(
+        rng,
+        sample_batch["voxels"].reshape((-1,) + sample_batch["voxels"].shape[2:]),
+        _coords_with_batch(sample_batch["coords"]),
+        sample_batch["num_points"].reshape(-1),
+        sample_batch["voxel_mask"].reshape(-1),
+        batch_size,
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        ema_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        opt_state=optimizer.init(params),
+    )
+
+
+def _coords_with_batch(coords_zyx):
+    """[B, V, 3] (z, y, x) -> [B*V, 4] (b, z, y, x)."""
+    b, v, _ = coords_zyx.shape
+    bi = jax.lax.broadcasted_iota(jnp.int32, (b, v, 1), 0)
+    return jnp.concatenate([bi, coords_zyx], axis=-1).reshape(b * v, 4)
+
+
+def _flatten_voxels(batch, suffix=""):
+    vox = batch["voxels" + suffix]
+    b, v = vox.shape[:2]
+    return (
+        vox.reshape((b * v,) + vox.shape[2:]),
+        _coords_with_batch(batch["coords" + suffix]),
+        batch["num_points" + suffix].reshape(b * v),
+        batch["voxel_mask" + suffix].reshape(b * v),
+    )
+
+
+def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
+                    ema_decay_cap: float = 0.999,
+                    compute_teacher_metrics: bool = True):
+    """Builds the jittable train_step(state, batch, consistency_weight).
+
+    batch (all leading dim B):
+        voxels [B, V, P, F], coords [B, V, 3] zyx, num_points [B, V],
+        voxel_mask [B, V], + the same four with the ``_raw`` suffix
+        (teacher inputs, un-augmented), anchors [B, A, 7],
+        labels/reg_targets (+ _raw) [B, A(, 7)],
+        transformation: flipped/noise_rotation/noise_scale [B].
+    """
+
+    def apply(params, batch_stats, inputs, batch_size):
+        preds, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            *inputs, batch_size, train=True, mutable=["batch_stats"],
+        )
+        return preds, updates["batch_stats"]
+
+    def train_step(state: TrainState, batch, consistency_weight):
+        b = batch["voxels"].shape[0]
+        stu_inputs = _flatten_voxels(batch)
+        tea_inputs = _flatten_voxels(batch, "_raw")
+
+        # teacher forward (no grad; BN in batch-stats mode like
+        # model_ema.train() at trainer_sessd.py:321)
+        preds_tea, new_ema_stats = apply(
+            state.ema_params, state.ema_batch_stats, tea_inputs, b)
+        preds_tea = jax.lax.stop_gradient(preds_tea)
+
+        def loss_fn(params):
+            preds_stu, new_stats = apply(params, state.batch_stats, stu_inputs, b)
+            sup_loss, metrics = detection_loss(preds_stu[0], batch, loss_cfg)
+            cons, cons_dir = consistency_loss(
+                preds_stu[0], preds_tea[0], batch["anchors"],
+                batch["transformation"], loss_cfg.consistency)
+            total = sup_loss + consistency_weight * cons
+            metrics = dict(metrics, consistency_loss=cons,
+                           consistency_dir_loss=cons_dir, loss=total)
+            return total, (new_stats, metrics)
+
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # EMA teacher update (trainer_sessd.py:315-318)
+        alpha = jnp.minimum(1.0 - 1.0 / (state.step.astype(jnp.float32) + 1.0),
+                            ema_decay_cap)
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: alpha * e + (1.0 - alpha) * p, state.ema_params, new_params)
+
+        if compute_teacher_metrics:
+            tea_loss, tea_metrics = detection_loss(
+                preds_tea[0], batch, loss_cfg,
+                labels_key="labels_raw", reg_targets_key="reg_targets_raw",
+                include_odiou=False)
+            metrics.update({k + "_ema": v for k, v in tea_metrics.items()})
+            metrics["loss_ema"] = tea_loss
+
+        metrics["grad_norm"] = optax.global_norm(grads)
+
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            ema_params=new_ema,
+            ema_batch_stats=new_ema_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step

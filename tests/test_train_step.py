@@ -1,0 +1,109 @@
+"""End-to-end train-step test: teacher+student+EMA on a tiny synthetic batch."""
+import numpy as np
+import pytest
+
+
+def make_batch(rng, b=2, v=64, p=5, f=4, a=32, sparse_shape=(41, 32, 32)):
+    import jax.numpy as jnp
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+
+    d, h, w = sparse_shape
+
+    def vox():
+        voxels = rng.randn(b, v, p, f).astype(np.float32) * 0.1
+        coords = np.stack(
+            [rng.randint(0, d, (b, v)), rng.randint(0, h, (b, v)),
+             rng.randint(0, w, (b, v))], axis=-1).astype(np.int32)
+        num_points = rng.randint(1, p + 1, (b, v)).astype(np.int32)
+        mask = np.ones((b, v), dtype=bool)
+        return voxels, coords, num_points, mask
+
+    voxels, coords, num_points, mask = vox()
+    voxels_r, coords_r, num_points_r, mask_r = vox()
+
+    anchors = create_anchors_3d_range([1, 4, 4], [0, -40, -1.0, 70.4, 40, -1.0]).reshape(-1, 7)
+    assert anchors.shape[0] == a
+    anchors_b = np.broadcast_to(anchors, (b, a, 7)).copy()
+
+    labels = rng.choice([-1, 0, 1], size=(b, a), p=[0.1, 0.7, 0.2]).astype(np.int32)
+    reg_targets = (rng.randn(b, a, 7) * 0.05).astype(np.float32)
+
+    batch = dict(
+        voxels=jnp.asarray(voxels), coords=jnp.asarray(coords),
+        num_points=jnp.asarray(num_points), voxel_mask=jnp.asarray(mask),
+        voxels_raw=jnp.asarray(voxels_r), coords_raw=jnp.asarray(coords_r),
+        num_points_raw=jnp.asarray(num_points_r), voxel_mask_raw=jnp.asarray(mask_r),
+        anchors=jnp.asarray(anchors_b.astype(np.float32)),
+        labels=jnp.asarray(labels), reg_targets=jnp.asarray(reg_targets),
+        labels_raw=jnp.asarray(labels), reg_targets_raw=jnp.asarray(reg_targets),
+        transformation=dict(
+            flipped=jnp.asarray(rng.rand(b) > 0.5),
+            noise_rotation=jnp.asarray(rng.uniform(-0.7, 0.7, b).astype(np.float32)),
+            noise_scale=jnp.asarray(rng.uniform(0.95, 1.05, b).astype(np.float32)),
+        ),
+    )
+    return batch
+
+
+def test_one_cycle_schedule():
+    import jax.numpy as jnp
+    from sessd_tpu.train.optim import OneCycleConfig, one_cycle_lr, one_cycle_mom
+
+    cfg = OneCycleConfig(lr_max=3e-3, total_steps=1000)
+    lr, mom = one_cycle_lr(cfg), one_cycle_mom(cfg)
+    np.testing.assert_allclose(float(lr(0)), 3e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(lr(400)), 3e-3, rtol=1e-4)
+    np.testing.assert_allclose(float(lr(1000)), 3e-5 * 1e-3, rtol=1e-3, atol=1e-9)
+    # midpoint of phase 1: halfway in cosine = mean of endpoints
+    np.testing.assert_allclose(float(lr(200)), (3e-4 + 3e-3) / 2, rtol=1e-4)
+    np.testing.assert_allclose(float(mom(0)), 0.95, rtol=1e-5)
+    np.testing.assert_allclose(float(mom(400)), 0.85, rtol=1e-4)
+    np.testing.assert_allclose(float(mom(1000)), 0.95, rtol=1e-4)
+
+
+def test_sigmoid_rampup():
+    from sessd_tpu.train.train_step import sigmoid_rampup
+
+    np.testing.assert_allclose(float(sigmoid_rampup(0)), np.exp(-5.0), rtol=1e-5)
+    np.testing.assert_allclose(float(sigmoid_rampup(15)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(sigmoid_rampup(30)), 1.0, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_train_step_runs_and_learns(rng):
+    import jax
+    import jax.numpy as jnp
+    from sessd_tpu.models import VoxelNet
+    from sessd_tpu.train.losses import ConsistencyConfig, LossConfig
+    from sessd_tpu.train.optim import OneCycleConfig, build_optimizer
+    from sessd_tpu.train.train_step import create_train_state, make_train_step
+
+    model = VoxelNet(sparse_shape=(41, 32, 32), stage_capacity=(128,) * 5)
+    opt = build_optimizer(OneCycleConfig(total_steps=100))
+    batch = make_batch(rng)
+    state = create_train_state(model, opt, batch, batch_size=2)
+
+    cfg = LossConfig(max_positive_anchors=8,
+                     consistency=ConsistencyConfig(top_k=16))
+    step_fn = jax.jit(make_train_step(model, opt, cfg))
+
+    w0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    state1, metrics = step_fn(state, batch, jnp.float32(0.5))
+    assert np.isfinite(float(metrics["loss"]))
+    for k in ["cls_loss_reduced", "ious_loss", "dir_loss_reduced",
+              "iou_pred_loss", "consistency_loss", "loss_ema"]:
+        assert np.isfinite(float(metrics[k])), k
+
+    w1 = np.asarray(jax.tree_util.tree_leaves(state1.params)[0])
+    assert np.abs(w1 - w0).sum() > 0  # student moved
+
+    # EMA at step 0: alpha = 0 -> teacher == new student
+    e1 = np.asarray(jax.tree_util.tree_leaves(state1.ema_params)[0])
+    np.testing.assert_allclose(e1, w1, atol=1e-7)
+
+    state2, m2 = step_fn(state1, batch, jnp.float32(0.5))
+    # EMA at step 1: alpha = 0.5 -> halfway between old teacher and student
+    e2 = np.asarray(jax.tree_util.tree_leaves(state2.ema_params)[0])
+    w2 = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
+    np.testing.assert_allclose(e2, 0.5 * e1 + 0.5 * w2, atol=1e-6)
+    assert int(state2.step) == 2
