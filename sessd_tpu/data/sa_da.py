@@ -1,0 +1,192 @@
+"""Shape-aware data augmentation (SA-DA) — numpy port of
+det3d/datasets/utils/sa_da_v2.py:21-223.
+
+Each gt box is split into 6 pyramids (apex at the box center, base at each
+face). Per box, one random pyramid may be:
+- dropped (p=0.25): its points removed;
+- sparsified (p=0.05): its points reduced to 50 by farthest-point sampling;
+- swapped (p=0.1): its points exchanged with the same-index pyramid of
+  another box, re-parameterized into the target pyramid's frame with
+  intensity renormalization.
+
+The reference's external ``ifp_sample`` FPS is replaced by a plain greedy
+farthest-point sampler (same algorithm, no dependency).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import box_np
+
+# base-face corner indices per pyramid, in the reference's corner layout
+_PYRAMID_ORDERS = np.array(
+    [
+        [0, 1, 5, 4],
+        [4, 5, 6, 7],
+        [7, 6, 2, 3],
+        [3, 2, 1, 0],
+        [1, 2, 6, 5],
+        [0, 4, 7, 3],
+    ]
+)
+# surface triangulation of a pyramid (5 surfaces x 3 vertex slots)
+_SURF_IDX = [1, 2, 0, 2, 3, 0, 3, 4, 0, 4, 1, 0, 4, 3, 2]
+
+
+def get_pyramids(gt_boxes: np.ndarray) -> np.ndarray:
+    """[N, 7] -> [N, 6, 15]: (apex, c0, c1, c2, c3) flattened xyz."""
+    corners = box_np.center_to_corner_box3d(
+        gt_boxes[:, :3], gt_boxes[:, 3:6], gt_boxes[:, 6],
+        origin=(0.5, 0.5, 0.5), axis=2,
+    )  # [N, 8, 3]
+    out = np.empty((len(gt_boxes), 6, 15), dtype=corners.dtype)
+    for k, order in enumerate(_PYRAMID_ORDERS):
+        out[:, k, 0:3] = gt_boxes[:, :3]
+        out[:, k, 3:15] = corners[:, order, :].reshape(len(gt_boxes), 12)
+    return out
+
+
+def points_in_pyramids_mask(points: np.ndarray, pyramids: np.ndarray) -> np.ndarray:
+    """points [P, >=3] vs pyramids [K, 15] -> bool [P, K]."""
+    if len(pyramids) == 0 or len(points) == 0:
+        return np.zeros((len(points), len(pyramids)), dtype=bool)
+    verts = pyramids.reshape(-1, 5, 3)  # apex + 4 base corners
+    surfaces = verts[:, _SURF_IDX, :].reshape(-1, 5, 3, 3)
+    # pad 3-vertex surfaces to the 4-slot convention by repeating the last
+    surfaces4 = np.concatenate([surfaces, surfaces[:, :, 2:3, :]], axis=2)
+    return box_np.points_in_convex_polygon_3d(points[:, :3], surfaces4)
+
+
+def farthest_point_sample(xyz: np.ndarray, k: int, rng) -> np.ndarray:
+    """Greedy FPS: indices of k points (replacement for ifp_sample)."""
+    n = len(xyz)
+    if n <= k:
+        return np.arange(n)
+    sel = np.empty(k, dtype=np.int64)
+    sel[0] = rng.randint(n)
+    d = np.sum((xyz - xyz[sel[0]]) ** 2, axis=1)
+    for i in range(1, k):
+        sel[i] = int(np.argmax(d))
+        d = np.minimum(d, np.sum((xyz - xyz[sel[i]]) ** 2, axis=1))
+    return sel
+
+
+def _points_ratio(points, pyr):
+    base0 = pyr[3:6]
+    sc = (pyr[3:6] + pyr[6:9] + pyr[9:12] + pyr[12:15]) / 4.0
+    v0, v1, v2 = pyr[6:9] - base0, pyr[12:15] - base0, pyr[0:3] - sc
+    a = ((points[:, :3] - base0) * v0).sum(-1) / np.sum(v0 ** 2)
+    b = ((points[:, :3] - base0) * v1).sum(-1) / np.sum(v1 ** 2)
+    g = ((points[:, :3] - sc) * v2).sum(-1) / np.sum(v2 ** 2)
+    return a, b, g
+
+
+def _recover_points(ratio, pyr):
+    a, b, g = ratio
+    base0 = pyr[3:6]
+    sc = (pyr[3:6] + pyr[6:9] + pyr[9:12] + pyr[12:15]) / 4.0
+    v0, v1, v2 = pyr[6:9] - base0, pyr[12:15] - base0, pyr[0:3] - sc
+    return a[:, None] * v0 + b[:, None] * v1 + base0 + g[:, None] * v2
+
+
+def _renorm_intensity(src_int, dst_min, dst_max):
+    return src_int * (dst_max - dst_min) + dst_min
+
+
+def pyramid_augment(
+    gt_boxes: np.ndarray,
+    points: np.ndarray,
+    rng: np.random.RandomState,
+    dropout_prob: float = 0.25,
+    sparsity_prob: float = 0.05,
+    sparsity_num: int = 50,
+    swap_prob: float = 0.1,
+    swap_min_points: int = 50,
+) -> np.ndarray:
+    """Full SA-DA pass (sa_da_v2.pyramid_augment_v0). Returns new points."""
+    if len(gt_boxes) == 0:
+        return points
+    pyramids = get_pyramids(gt_boxes)
+
+    # --- dropout
+    if dropout_prob is not None:
+        which = rng.randint(0, 6, len(pyramids))
+        hit = rng.uniform(0, 1, len(pyramids)) <= dropout_prob
+        drop = pyramids[hit, which[hit]]
+        if len(drop):
+            m = points_in_pyramids_mask(points, drop)
+            points = points[~m.any(-1)]
+        pyramids = pyramids[~hit]
+
+    # --- sparsify
+    if sparsity_prob is not None and len(pyramids) > 0:
+        which = rng.randint(0, 6, len(pyramids))
+        hit = rng.uniform(0, 1, len(pyramids)) <= sparsity_prob
+        sel_mask = np.zeros((len(pyramids), 6), dtype=bool)
+        sel_mask[np.arange(len(pyramids)), which] = True
+        sel_mask &= hit[:, None]
+        counts = points_in_pyramids_mask(points, pyramids.reshape(-1, 15)).sum(0)
+        sel_mask &= (counts.reshape(-1, 6) > sparsity_num)
+        tgt = pyramids[sel_mask]
+        if len(tgt):
+            m = points_in_pyramids_mask(points, tgt)
+            remain = points[~m.any(-1)]
+            chunks = [remain]
+            for i in range(m.shape[1]):
+                grp = points[m[:, i]]
+                chunks.append(grp[farthest_point_sample(grp[:, :3], sparsity_num, rng)])
+            points = np.concatenate(chunks, axis=0)
+        pyramids = pyramids[~hit]
+
+    # --- swap
+    if swap_prob is not None and len(pyramids) > 0:
+        hit = rng.uniform(0, 1, len(pyramids)) <= swap_prob
+        if hit.sum() > 0:
+            counts = points_in_pyramids_mask(points, pyramids.reshape(-1, 15)).sum(0)
+            rich = counts.reshape(-1, 6) > swap_min_points  # [N, 6]
+            chosen = rich & hit[:, None]
+            if chosen.sum() > 0:
+                # per hit box pick one of its rich pyramids
+                srcs = []
+                for i in np.where(hit)[0]:
+                    js = np.where(chosen[i])[0]
+                    if len(js):
+                        srcs.append((i, int(rng.choice(js))))
+                if srcs:
+                    partner_rich = rich.copy()
+                    for i, j in srcs:
+                        partner_rich[i, j] = False
+                    pairs = []
+                    for i, j in srcs:
+                        cands = np.where(partner_rich[:, j])[0]
+                        k = int(rng.choice(cands)) if len(cands) else i
+                        pairs.append((i, j, k))
+                    to_swap = np.stack([pyramids[i, j] for i, j, _ in pairs])
+                    partners = np.stack([pyramids[k, j] for _, j, k in pairs])
+                    allp = np.concatenate([to_swap, partners], axis=0)
+                    m = points_in_pyramids_mask(points, allp)
+                    remain = points[~m.any(-1)]
+                    res = [remain]
+                    npair = len(pairs)
+                    for i in range(npair):
+                        pa = points[m[:, i]]          # points in pyramid A
+                        pb = points[m[:, i + npair]]  # points in pyramid B
+                        if len(pa) == 0 or len(pb) == 0:
+                            res.extend([pa, pb])
+                            continue
+                        ia = (pa[:, -1:] - pa[:, -1:].min()) / np.clip(
+                            pa[:, -1:].max() - pa[:, -1:].min(), 1e-6, None)
+                        ib = (pb[:, -1:] - pb[:, -1:].min()) / np.clip(
+                            pb[:, -1:].max() - pb[:, -1:].min(), 1e-6, None)
+                        new_a = _recover_points(_points_ratio(pb, allp[i]), allp[i])
+                        new_b = _recover_points(_points_ratio(pa, allp[i + npair]),
+                                                allp[i + npair])
+                        res.append(np.concatenate(
+                            [new_a, _renorm_intensity(ib, pa[:, -1].min(), pa[:, -1].max())],
+                            axis=1).astype(points.dtype))
+                        res.append(np.concatenate(
+                            [new_b, _renorm_intensity(ia, pb[:, -1].min(), pb[:, -1].max())],
+                            axis=1).astype(points.dtype))
+                    points = np.concatenate([r for r in res if len(r)], axis=0)
+
+    return points.astype(np.float32)

@@ -1,0 +1,111 @@
+"""Loader for the native C++ host kernels (native/*.cpp).
+
+Builds ``libsessd_native.so`` on first use with g++ (no pip, no pybind11 —
+plain C ABI + ctypes), caches it next to the sources, and exposes typed
+wrappers. If no compiler is available the callers fall back to the pure
+python implementations.
+"""
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).resolve().parents[2]
+_SRC_DIR = _REPO / "native"
+_LIB_PATH = _SRC_DIR / "libsessd_native.so"
+
+_lock = threading.Lock()
+_native = None
+_tried = False
+
+
+def _build() -> bool:
+    srcs = sorted(str(p) for p in _SRC_DIR.glob("*.cpp"))
+    if not srcs:
+        return False
+    newest = max(pathlib.Path(s).stat().st_mtime for s in srcs)
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= newest:
+        return True
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-o", str(_LIB_PATH)] + srcs
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+class _Native:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        f = lib.compute_statistics
+        f.restype = None
+        f.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # overlaps
+            ctypes.POINTER(ctypes.c_double),  # gt_datas
+            ctypes.POINTER(ctypes.c_double),  # dt_datas
+            ctypes.POINTER(ctypes.c_int64),   # ignored_gt
+            ctypes.POINTER(ctypes.c_int64),   # ignored_det
+            ctypes.POINTER(ctypes.c_double),  # dc_bboxes
+            ctypes.c_int64,                   # num_dc
+            ctypes.c_int64,                   # metric
+            ctypes.c_double,                  # min_overlap
+            ctypes.c_double,                  # thresh
+            ctypes.c_int64,                   # compute_fp
+            ctypes.c_int64,                   # compute_aos
+            ctypes.c_int64,                   # gt_size
+            ctypes.c_int64,                   # det_size
+            ctypes.POINTER(ctypes.c_int64),   # out tp/fp/fn
+            ctypes.POINTER(ctypes.c_double),  # out similarity
+            ctypes.POINTER(ctypes.c_double),  # out thresholds
+            ctypes.POINTER(ctypes.c_int64),   # out n_thresh
+        ]
+
+    def compute_statistics(self, overlaps, gt_datas, dt_datas, ignored_gt,
+                           ignored_det, dc_bboxes, metric, min_overlap,
+                           thresh=0.0, compute_fp=False, compute_aos=False):
+        overlaps = np.ascontiguousarray(overlaps, dtype=np.float64)
+        gt_datas = np.ascontiguousarray(gt_datas, dtype=np.float64)
+        dt_datas = np.ascontiguousarray(dt_datas, dtype=np.float64)
+        ignored_gt = np.ascontiguousarray(ignored_gt, dtype=np.int64)
+        ignored_det = np.ascontiguousarray(ignored_det, dtype=np.int64)
+        dc_bboxes = np.ascontiguousarray(dc_bboxes, dtype=np.float64)
+        gt_size, det_size = gt_datas.shape[0], dt_datas.shape[0]
+        out_tpfpfn = np.zeros(3, dtype=np.int64)
+        out_sim = np.zeros(1, dtype=np.float64)
+        out_thresh = np.zeros(max(gt_size, 1), dtype=np.float64)
+        out_n = np.zeros(1, dtype=np.int64)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        self._lib.compute_statistics(
+            ptr(overlaps, ctypes.c_double), ptr(gt_datas, ctypes.c_double),
+            ptr(dt_datas, ctypes.c_double), ptr(ignored_gt, ctypes.c_int64),
+            ptr(ignored_det, ctypes.c_int64), ptr(dc_bboxes, ctypes.c_double),
+            dc_bboxes.shape[0], metric, min_overlap, thresh,
+            int(compute_fp), int(compute_aos), gt_size, det_size,
+            ptr(out_tpfpfn, ctypes.c_int64), ptr(out_sim, ctypes.c_double),
+            ptr(out_thresh, ctypes.c_double), ptr(out_n, ctypes.c_int64),
+        )
+        return (int(out_tpfpfn[0]), int(out_tpfpfn[1]), int(out_tpfpfn[2]),
+                float(out_sim[0]), out_thresh[: int(out_n[0])].copy())
+
+
+def get_native():
+    """Returns the native kernel wrapper or None if unavailable."""
+    global _native, _tried
+    with _lock:
+        if _tried:
+            return _native
+        _tried = True
+        if _build():
+            try:
+                _native = _Native(ctypes.CDLL(str(_LIB_PATH)))
+            except OSError:
+                _native = None
+        return _native
