@@ -260,8 +260,8 @@ def corner_surfaces_3d(corners: np.ndarray) -> np.ndarray:
             [7, 6, 5, 4],
             [0, 3, 7, 4],
             [1, 5, 6, 2],
+            [0, 4, 5, 1],
             [3, 2, 6, 7],
-            [1, 0, 4, 5],
         ]
     )
     return corners[:, idx, :]
@@ -315,15 +315,27 @@ def get_frustum(bbox_image, c_mat, near_clip: float = 0.001, far_clip: float = 1
     return np.concatenate([ret_xy, z_points], axis=1)
 
 
-def get_valid_frustum(rect, trv2c, image_shape, c_mat, near_clip=0.001, far_clip=100.0):
+def projection_matrix_to_crt(proj: np.ndarray):
+    """Decompose P = C @ [R|T] with C upper-triangular (QR on the inverse,
+    box_np_ops.projection_matrix_to_CRT_kitti)."""
+    cr = proj[:3, :3]
+    ct = proj[:3, 3]
+    rinv_cinv = np.linalg.inv(cr)
+    rinv, cinv = np.linalg.qr(rinv_cinv)
+    return np.linalg.inv(cinv), np.linalg.inv(rinv), cinv @ ct
+
+
+def get_valid_frustum(rect, trv2c, image_shape, p2, near_clip=0.001, far_clip=100.0):
     """Full-image frustum surfaces in lidar frame, [1, 6, 4, 3].
 
     Used by the predict path to cull detections outside the camera view
     (mg_head_sessd.py:1024-1030 via loading.py's 'frustum' calib entry).
     """
+    c_mat, r_mat, t_vec = projection_matrix_to_crt(np.asarray(p2, dtype=np.float64))
     h, w = image_shape[:2]
     bbox_image = np.array([0, 0, w, h], dtype=np.float64)
     frustum = get_frustum(bbox_image, c_mat, near_clip, far_clip)
-    frustum -= c_mat[:3, 3][None, :] if c_mat.shape == (4, 4) else 0.0
+    frustum -= t_vec[None, :]
+    frustum = (np.linalg.inv(r_mat) @ frustum.T).T
     frustum = camera_to_lidar(frustum, rect, trv2c)
     return corner_surfaces_3d(frustum[None, ...])

@@ -1,0 +1,226 @@
+"""Per-sample CPU pipeline: load -> augment -> voxelize -> assign targets ->
+fixed-capacity example dict.
+
+Host-side redesign of the reference's registry-composed pipeline stages
+(det3d/datasets/pipelines/{loading,preprocess,formating}.py, SURVEY §3.3).
+Differences by design:
+- output arrays are PADDED to static capacities (voxel budget, anchor grid)
+  so batches stack into fixed shapes for jit;
+- all randomness comes from a per-call ``np.random.RandomState``;
+- the teacher's un-augmented twin (``*_raw``) is produced exactly as the
+  reference does: snapshot after GT-AUG + per-object noise, before the
+  global transforms (preprocess.py:130-140).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core import box_np
+from ..core.anchors import create_anchors_3d_range
+from ..core.target_assign import TargetAssigner, limit_period
+from ..ops.voxelize import KITTI_VOXELIZER, VoxelizerSpec, voxelize_np
+from . import augment, sa_da
+from .augment import GroundTruthSampler
+
+
+@dataclass
+class PipelineConfig:
+    class_names: Sequence[str] = ("Car",)
+    enable_similar_type: bool = True      # adds Van as class id 2
+    voxelizer: VoxelizerSpec = KITTI_VOXELIZER
+    feature_map_size: tuple = (1, 200, 176)
+    anchor_range: tuple = (0.0, -40.0, -1.0, 70.4, 40.0, -1.0)
+    anchor_sizes: tuple = (1.6, 3.9, 1.56)
+    anchor_rotations: tuple = (0.0, np.pi / 2)
+    matched_threshold: float = 0.6
+    unmatched_threshold: float = 0.45
+    # augmentation (examples/second/configs/config.py:141-160)
+    gt_loc_noise: tuple = (1.0, 1.0, 0.5)
+    gt_rot_noise: tuple = (-0.785, 0.785)
+    global_rot_noise: tuple = (-0.785, 0.785)
+    global_scale_noise: tuple = (0.95, 1.05)
+    remove_points_after_sample: bool = True
+    sa_dropout: float = 0.25
+    sa_sparsity: tuple = (0.05, 50)
+    sa_swap: tuple = (0.1, 50)
+    shuffle_points: bool = True
+    max_gt_boxes: int = 64                # padded gt capacity (metrics only)
+
+    @property
+    def train_class_names(self):
+        names = list(self.class_names)
+        if self.enable_similar_type and "Car" in names and "Van" not in names:
+            names.append("Van")
+        return names
+
+
+class Pipeline:
+    """Composable per-sample transform; one instance per (mode, config)."""
+
+    def __init__(self, cfg: PipelineConfig, mode: str = "train",
+                 sampler: Optional[GroundTruthSampler] = None):
+        assert mode in ("train", "val")
+        self.cfg = cfg
+        self.mode = mode
+        self.sampler = sampler
+        self.anchors = create_anchors_3d_range(
+            cfg.feature_map_size, cfg.anchor_range, cfg.anchor_sizes,
+            cfg.anchor_rotations).reshape(-1, 7)
+        self.assigner = TargetAssigner(cfg.matched_threshold, cfg.unmatched_threshold)
+
+    # -- loading ------------------------------------------------------------
+    def load_points(self, info, root_path) -> np.ndarray:
+        import pathlib
+
+        pc = info["point_cloud"]
+        path = pathlib.Path(pc["velodyne_path"])
+        if not path.is_absolute():
+            path = pathlib.Path(root_path) / path
+        reduced = path.parent.parent / (path.parent.stem + "_reduced") / path.name
+        if reduced.exists():
+            path = reduced
+        return np.fromfile(str(path), dtype=np.float32).reshape(
+            -1, pc.get("num_features", 4))
+
+    def load_annotations(self, info):
+        """gt boxes cam->lidar with gravity-center shift (loading.py:106-154)."""
+        calib = info["calib"]
+        annos = info.get("annos")
+        out = {"calib": calib}
+        out["frustum"] = box_np.get_valid_frustum(
+            calib["R0_rect"], calib["Tr_velo_to_cam"],
+            info["image"]["image_shape"], calib["P2"])[0]
+        if annos is not None:
+            from .kitti_common import remove_dontcare
+
+            annos = remove_dontcare(annos)
+            boxes_cam = np.concatenate(
+                [annos["location"], annos["dimensions"], annos["rotation_y"][:, None]],
+                axis=1).astype(np.float32)
+            gt_boxes = box_np.box_camera_to_lidar(
+                boxes_cam, calib["R0_rect"], calib["Tr_velo_to_cam"])
+            gt_boxes[:, 2] += gt_boxes[:, 5] / 2  # bottom -> gravity center
+            out["gt_boxes"] = gt_boxes.astype(np.float32)
+            out["gt_names"] = np.asarray(annos["name"])
+        return out
+
+    # -- main ---------------------------------------------------------------
+    def __call__(self, info, root_path, rng: Optional[np.random.RandomState] = None):
+        rng = rng or np.random.RandomState()
+        cfg = self.cfg
+        points = self.load_points(info, root_path)
+        ann = self.load_annotations(info)
+
+        example = {
+            "metadata": {
+                "image_idx": info["image"]["image_idx"],
+                "image_shape": info["image"]["image_shape"],
+            },
+            "calib": ann["calib"],
+            "frustum": ann["frustum"].astype(np.float32),
+        }
+
+        if self.mode == "train":
+            example.update(self._train_branch(points, ann, root_path, rng))
+        else:
+            example.update(self._voxelize("", points))
+        return example
+
+    def _train_branch(self, points, ann, root_path, rng):
+        cfg = self.cfg
+        class_names = cfg.train_class_names
+        gt_boxes = ann.get("gt_boxes", np.zeros((0, 7), np.float32))
+        gt_names = ann.get("gt_names", np.zeros((0,), dtype="<U16"))
+        gt_mask = np.array([n in class_names for n in gt_names], dtype=bool)
+
+        # GT-AUG paste (preprocess.py:84-110)
+        if self.sampler is not None:
+            sampled = self.sampler.sample_all(gt_boxes, gt_names)
+            if sampled is not None:
+                gt_boxes = np.concatenate([gt_boxes, sampled["gt_boxes"]])
+                gt_names = np.concatenate([gt_names, sampled["gt_names"]])
+                gt_mask = np.concatenate(
+                    [gt_mask, np.ones(len(sampled["gt_names"]), bool)])
+                if cfg.remove_points_after_sample:
+                    points = box_np.remove_points_in_boxes(points, sampled["gt_boxes"])
+                points = np.concatenate([sampled["points"], points])
+
+        # per-object jitter (preprocess.py:113-124)
+        augment.noise_per_object(
+            gt_boxes, points, gt_mask, rng,
+            rotation_perturb=cfg.gt_rot_noise, center_noise_std=cfg.gt_loc_noise)
+
+        gt_boxes = gt_boxes[gt_mask]
+        gt_names = gt_names[gt_mask]
+        gt_classes = np.array(
+            [class_names.index(n) + 1 for n in gt_names], dtype=np.int32)
+
+        # snapshot for the teacher BEFORE global transforms (preprocess.py:130)
+        points_raw = points.copy()
+        gt_boxes_raw = gt_boxes.copy()
+
+        # global transforms, parameters recorded (preprocess.py:137-140)
+        gt_boxes, points, flipped = augment.random_flip(gt_boxes, points, rng)
+        gt_boxes, points, noise_rot = augment.global_rotation(
+            gt_boxes, points, rng, cfg.global_rot_noise)
+        gt_boxes, points, noise_scale = augment.global_scaling(
+            gt_boxes, points, rng, *cfg.global_scale_noise)
+
+        # shape-aware augmentation (preprocess.py:146-151)
+        points = sa_da.pyramid_augment(
+            gt_boxes, points, rng,
+            dropout_prob=cfg.sa_dropout,
+            sparsity_prob=cfg.sa_sparsity[0], sparsity_num=cfg.sa_sparsity[1],
+            swap_prob=cfg.sa_swap[0], swap_min_points=cfg.sa_swap[1])
+
+        if cfg.shuffle_points:
+            points = points[rng.permutation(len(points))]
+            points_raw = points_raw[rng.permutation(len(points_raw))]
+
+        out = {}
+        out.update(self._voxelize("", points))
+        out.update(self._voxelize("_raw", points_raw))
+        out.update(self._targets("", gt_boxes))
+        out.update(self._targets("_raw", gt_boxes_raw))
+        out["transformation"] = {
+            "flipped": np.bool_(flipped),
+            "noise_rotation": np.float32(noise_rot),
+            "noise_scale": np.float32(noise_scale),
+        }
+        # padded gt (for debugging / alternative losses)
+        mg = self.cfg.max_gt_boxes
+        gtb = np.zeros((mg, 7), np.float32)
+        n = min(len(gt_boxes), mg)
+        gtb[:n] = gt_boxes[:n]
+        out["gt_boxes"] = gtb
+        out["num_gt"] = np.int32(n)
+        return out
+
+    def _voxelize(self, suffix, points):
+        spec = self.cfg.voxelizer
+        voxels, coords, num_points = voxelize_np(points, spec)
+        v = spec.max_voxels
+        f = points.shape[1]
+        pv = np.zeros((v, spec.max_points, f), np.float32)
+        pc = np.zeros((v, 3), np.int32)
+        pn = np.zeros((v,), np.int32)
+        mask = np.zeros((v,), bool)
+        n = len(voxels)
+        pv[:n], pc[:n], pn[:n] = voxels, coords, num_points
+        mask[:n] = True
+        return {
+            f"voxels{suffix}": pv,
+            f"coords{suffix}": pc,
+            f"num_points{suffix}": pn,
+            f"voxel_mask{suffix}": mask,
+        }
+
+    def _targets(self, suffix, gt_boxes):
+        t = self.assigner.assign(self.anchors, gt_boxes.astype(np.float64))
+        return {
+            f"labels{suffix}": t["labels"].astype(np.int32),
+            f"reg_targets{suffix}": t["bbox_targets"].astype(np.float32),
+        }

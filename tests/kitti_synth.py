@@ -1,0 +1,128 @@
+"""Synthetic miniature KITTI tree for integration tests (no real data in CI)."""
+import pathlib
+import struct
+
+import numpy as np
+
+from sessd_tpu.core import box_np
+
+P2 = np.array(
+    [
+        [721.5377, 0.0, 609.5593, 44.85728],
+        [0.0, 721.5377, 172.854, 0.2163791],
+        [0.0, 0.0, 1.0, 0.002745884],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
+R0 = np.eye(4)
+R0[:3, :3] = np.array(
+    [[0.9999239, 0.00983776, -0.00744505],
+     [-0.0098698, 0.9999421, -0.00427846],
+     [0.00740253, 0.00435161, 0.9999631]]
+)
+TR = np.array(
+    [
+        [7.533745e-03, -9.999714e-01, -6.166020e-04, -4.069766e-03],
+        [1.480249e-02, 7.280733e-04, -9.998902e-01, -7.631618e-02],
+        [9.998621e-01, 7.523790e-03, 1.480755e-02, -2.717806e-01],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+)
+IMAGE_SHAPE = (375, 1242)
+
+
+def write_png_stub(path, h=375, w=1242):
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00\x00\x00\x00"
+    with open(path, "wb") as f:
+        f.write(sig + chunk)
+
+
+def car_points(box, n, rng):
+    """Points on the surface of a lidar box [7]."""
+    u = rng.uniform(-0.5, 0.5, (n, 3))
+    # push to faces to mimic lidar surface returns
+    face = rng.randint(0, 3, n)
+    s = np.sign(rng.uniform(-1, 1, n))
+    u[np.arange(n), face] = 0.5 * s
+    local = u * box[3:6]
+    c, ss = np.cos(box[6]), np.sin(box[6])
+    gx = local[:, 0] * c + local[:, 1] * ss
+    gy = -local[:, 0] * ss + local[:, 1] * c
+    pts = np.stack([gx + box[0], gy + box[1], local[:, 2] + box[2],
+                    rng.uniform(0, 1, n)], axis=1)
+    return pts.astype(np.float32)
+
+
+def make_frame(root, idx, rng, num_cars=3):
+    root = pathlib.Path(root)
+    for sub in ("velodyne", "calib", "label_2", "image_2"):
+        (root / "training" / sub).mkdir(parents=True, exist_ok=True)
+    sid = f"{idx:06d}"
+
+    # calib file
+    def fmt(m, rows=3):
+        return " ".join(f"{v:.12e}" for v in m[:rows].reshape(-1))
+
+    with open(root / "training" / "calib" / f"{sid}.txt", "w") as f:
+        for k in ("P0", "P1", "P2", "P3"):
+            f.write(f"{k}: {fmt(P2, 3)}\n")
+        f.write(f"R0_rect: {' '.join(f'{v:.12e}' for v in R0[:3, :3].reshape(-1))}\n")
+        f.write(f"Tr_velo_to_cam: {fmt(TR, 3)}\n")
+        f.write(f"Tr_imu_to_velo: {fmt(np.eye(4), 3)}\n")
+
+    write_png_stub(root / "training" / "image_2" / f"{sid}.png", *IMAGE_SHAPE)
+
+    # lidar boxes in front of the car, inside the camera frustum
+    boxes = []
+    for i in range(num_cars):
+        x = rng.uniform(10, 50)
+        # keep the car well inside the ~40deg half-angle camera FOV
+        y = rng.uniform(-0.5, 0.5) * x * 0.6
+        boxes.append([
+            x, y, rng.uniform(-1.2, -0.6),
+            rng.uniform(1.55, 1.7), rng.uniform(3.6, 4.2), rng.uniform(1.4, 1.7),
+            rng.uniform(-np.pi, np.pi),
+        ])
+    boxes = np.array(boxes)
+
+    pts = [car_points(b, 150, rng) for b in boxes]
+    ground = np.stack(
+        [rng.uniform(4, 60, 4000), rng.uniform(-30, 30, 4000),
+         rng.uniform(-1.9, -1.6, 4000), rng.uniform(0, 1, 4000)], axis=1
+    ).astype(np.float32)
+    points = np.concatenate(pts + [ground])
+    points.tofile(str(root / "training" / "velodyne" / f"{sid}.bin"))
+
+    # labels: lidar gravity-center -> camera bottom-center
+    cam = box_np.box_lidar_to_camera(boxes, R0, TR)  # center xyz + (l, h, w) + ry
+    with open(root / "training" / "label_2" / f"{sid}.txt", "w") as f:
+        for i, b in enumerate(boxes):
+            loc = cam[i, :3].copy()
+            l, h, w = cam[i, 3], cam[i, 4], cam[i, 5]
+            ry = cam[i, 6]
+            loc[1] += h / 2  # bottom center in camera (y down)
+            corners = box_np.center_to_corner_box3d(
+                cam[i:i + 1, :3], cam[i:i + 1, 3:6], cam[i:i + 1, 6],
+                origin=(0.5, 1.0, 0.5), axis=1)[0] + np.array([0, h / 2, 0])
+            img = box_np.project_to_image(corners, P2)
+            x1, y1 = img.min(0)
+            x2, y2 = img.max(0)
+            x1, y1 = max(x1, 0), max(y1, 0)
+            x2 = min(x2, IMAGE_SHAPE[1])
+            y2 = min(y2, IMAGE_SHAPE[0])
+            alpha = -np.arctan2(-b[1], b[0]) + ry
+            f.write(
+                f"Car 0.00 0 {alpha:.2f} {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+                f"{h:.2f} {w:.2f} {l:.2f} {loc[0]:.2f} {loc[1]:.2f} {loc[2]:.2f} "
+                f"{ry:.2f}\n")
+    return boxes
+
+
+def make_kitti_root(tmpdir, num_frames=4, seed=0, num_cars=3):
+    rng = np.random.RandomState(seed)
+    boxes = {}
+    for i in range(num_frames):
+        boxes[i] = make_frame(tmpdir, i, rng, num_cars=num_cars)
+    return boxes

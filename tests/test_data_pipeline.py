@@ -1,0 +1,134 @@
+"""End-to-end host data path: synthetic KITTI tree -> infos -> gt database ->
+train pipeline -> batched examples -> evaluation plumbing."""
+import pickle
+
+import numpy as np
+import pytest
+
+from sessd_tpu.data import kitti_common as kc
+from sessd_tpu.data.augment import GroundTruthSampler
+from sessd_tpu.data.dataset import KittiDataset
+from sessd_tpu.data.loader import DataLoader
+from sessd_tpu.data.pipeline import PipelineConfig
+from sessd_tpu.ops.voxelize import VoxelizerSpec
+
+from kitti_synth import make_kitti_root
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    gt = make_kitti_root(root, num_frames=4, num_cars=3)
+    infos = kc.create_kitti_info(root, list(range(4)), num_workers=2)
+    info_path = root / "infos_train.pkl"
+    with open(info_path, "wb") as f:
+        pickle.dump(infos, f)
+    kc.create_reduced_point_cloud(root, info_path)
+    kc.create_groundtruth_database(root, info_path, used_classes=("Car",))
+    return root, info_path, gt
+
+
+SMALL_VOX = VoxelizerSpec(
+    point_cloud_range=(0.0, -40.0, -3.0, 70.4, 40.0, 1.0),
+    voxel_size=(0.2, 0.2, 0.25),
+    max_points=5,
+    max_voxels=6000,
+)
+SMALL_CFG = PipelineConfig(voxelizer=SMALL_VOX, feature_map_size=(1, 100, 88))
+
+
+def test_info_creation(kitti_root):
+    root, info_path, gt = kitti_root
+    with open(info_path, "rb") as f:
+        infos = pickle.load(f)
+    assert len(infos) == 4
+    a = infos[0]["annos"]
+    assert (a["name"] == "Car").all()
+    assert (a["num_points_in_gt"] > 20).all()
+    assert infos[0]["image"]["image_shape"].tolist() == [375, 1242]
+
+
+def test_gt_database(kitti_root):
+    root, info_path, gt = kitti_root
+    with open(root / "dbinfos_train.pkl", "rb") as f:
+        db = pickle.load(f)
+    assert "Car" in db and len(db["Car"]) == 12
+    info = db["Car"][0]
+    pts = np.fromfile(str(root / info["path"]), dtype=np.float32).reshape(-1, 4)
+    assert len(pts) == info["num_points_in_gt"]
+    # stored center-relative: mean near origin-ish
+    assert np.abs(pts[:, :3].mean(0)).max() < 2.5
+
+
+def test_train_pipeline_example(kitti_root):
+    root, info_path, gt = kitti_root
+    sampler = GroundTruthSampler(
+        db_info_path=str(root / "dbinfos_train.pkl"), root_path=str(root),
+        sample_groups={"Car": 6}, min_points={"Car": 5})
+    ds = KittiDataset(str(root), str(info_path), mode="train",
+                      pipeline_cfg=SMALL_CFG, sampler=sampler)
+    ex = ds.get_sensor_data(0, rng=np.random.RandomState(7))
+    v = SMALL_VOX.max_voxels
+    a = 100 * 88 * 2
+    assert ex["voxels"].shape == (v, 5, 4)
+    assert ex["voxels_raw"].shape == (v, 5, 4)
+    assert ex["labels"].shape == (a,)
+    assert ex["reg_targets"].shape == (a, 7)
+    assert ex["labels_raw"].shape == (a,)
+    assert ex["voxel_mask"].sum() > 100
+    assert (ex["labels"] > 0).sum() >= 1, "no positive anchors"
+    assert (ex["labels_raw"] > 0).sum() >= 1
+    t = ex["transformation"]
+    assert 0.94 <= float(t["noise_scale"]) <= 1.06
+    # gt-aug should have pasted extra cars (3 real + up to 3 sampled)
+    assert int(ex["num_gt"]) >= 3
+    assert ex["frustum"].shape == (6, 4, 3)
+
+
+def test_val_pipeline_and_loader(kitti_root):
+    root, info_path, gt = kitti_root
+    ds = KittiDataset(str(root), str(info_path), mode="val", pipeline_cfg=SMALL_CFG)
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["voxels"].shape == (2, SMALL_VOX.max_voxels, 5, 4)
+    assert b["frustum"].shape == (2, 6, 4, 3)
+    assert len(b["metadata"]) == 2
+
+
+def test_loader_sharding(kitti_root):
+    root, info_path, gt = kitti_root
+    ds = KittiDataset(str(root), str(info_path), mode="val", pipeline_cfg=SMALL_CFG)
+    seen = []
+    for shard in range(2):
+        dl = DataLoader(ds, batch_size=1, shuffle=True, seed=3, num_workers=1,
+                        num_shards=2, shard_index=shard)
+        for b in dl:
+            seen.append(b["metadata"][0]["image_idx"])
+    assert sorted(seen) == [0, 1, 2, 3]
+
+
+def test_evaluation_with_perfect_detections(kitti_root):
+    root, info_path, gt = kitti_root
+    ds = KittiDataset(str(root), str(info_path), mode="val", pipeline_cfg=SMALL_CFG)
+    detections = []
+    for i in range(len(ds)):
+        boxes = gt[i]
+        detections.append({
+            "box3d_lidar": boxes.astype(np.float32),
+            "scores": np.linspace(0.9, 0.8, len(boxes)),
+            "label_preds": np.zeros(len(boxes), dtype=np.int64),
+            "metadata": {"image_idx": i},
+        })
+    results, dt_annos = ds.evaluation(detections, compute_aos=False)
+    # with only 12 gts the 41 recall samples can't all fill (official
+    # devkit behavior): 12 covered points -> AP11 = 3/11. The load-bearing
+    # check is that the lidar->camera conversion preserves geometry:
+    from sessd_tpu.data import kitti_eval as ke
+
+    ov = ke._overlap_matrix(ds.infos[0]["annos"], dt_annos[0], 2)
+    assert ov.shape == (3, 3)
+    assert (np.sort(ov.ravel())[-3:] > 0.95).all()
+    for metric in ("bbox", "bev", "3d"):
+        assert results["Car"][metric][1]["AP11"] > 27.0
