@@ -1,0 +1,99 @@
+"""Benchmark: SE-SSD student batch-1 end-to-end inference on one chip.
+
+Measures the full serving path inside a single jit — device voxelization
+(fixed-capacity sort-and-segment), sparse SpMiddleFHD backbone, SSFA neck,
+head, decode + IoU-rectified score + rotated NMS — on a synthetic KITTI-like
+cloud (~18k points in range).
+
+Prints ONE JSON line. Baseline: the reference publishes no latency numbers
+(SURVEY §6); BASELINE.json's north star is >=2x an A100 running the
+reference at batch 1. We take 40 scenes/sec as the A100 reference rate
+(SE-SSD reports ~30ms/frame on a high-end GPU), so vs_baseline =
+scenes_per_sec / 40.0.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def make_points(rng, n=18000):
+    # ground plane + clutter + a few car-like clusters, inside the KITTI range
+    pts = np.concatenate(
+        [
+            np.stack([rng.uniform(0, 70, n // 2), rng.uniform(-40, 40, n // 2),
+                      rng.uniform(-1.9, -1.5, n // 2), rng.uniform(0, 1, n // 2)], 1),
+            np.stack([rng.uniform(0, 70, n // 2), rng.uniform(-40, 40, n // 2),
+                      rng.uniform(-1.5, 1.0, n // 2), rng.uniform(0, 1, n // 2)], 1),
+        ]
+    )
+    return pts.astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sessd_tpu.models import VoxelNet
+    from sessd_tpu.models.predict import PredictConfig, predict_batch
+    from sessd_tpu.ops.voxelize import KITTI_VOXELIZER, voxelize_jax
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+
+    spec = KITTI_VOXELIZER
+    sparse_shape = spec.sparse_shape  # (41, 1600, 1408)
+    model = VoxelNet(sparse_shape=sparse_shape)
+    anchors = jnp.asarray(
+        create_anchors_3d_range([1, 200, 176], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
+        .reshape(-1, 7))
+    cfg = PredictConfig()
+
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(make_points(rng))
+
+    def infer(variables, pts):
+        voxels, coords_zyx, num_points, _ = voxelize_jax(pts, spec)
+        bidx = jnp.zeros((spec.max_voxels, 1), jnp.int32)
+        coords = jnp.concatenate([bidx, coords_zyx], axis=1)
+        valid = coords_zyx[:, 0] >= 0
+        preds = model.apply(variables, voxels, coords, num_points, valid, 1,
+                            train=False)
+        dets = predict_batch(preds[0], anchors, None, cfg)
+        return dets["box3d_lidar"], dets["scores"], dets["valid"]
+
+    # init from a voxelized example (shapes identical)
+    voxels, coords_zyx, num_points, _ = jax.jit(
+        lambda p: voxelize_jax(p, spec))(points)
+    coords = jnp.concatenate(
+        [jnp.zeros((spec.max_voxels, 1), jnp.int32), coords_zyx], axis=1)
+    valid = coords_zyx[:, 0] >= 0
+    variables = model.init(jax.random.PRNGKey(0), voxels, coords, num_points,
+                           valid, 1, train=False)
+
+    fn = jax.jit(infer)
+    out = fn(variables, points)
+    jax.block_until_ready(out)
+
+    # warm
+    for _ in range(3):
+        out = fn(variables, points)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(variables, points)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = iters / dt
+    baseline_a100 = 40.0
+    print(json.dumps({
+        "metric": "sessd_batch1_scenes_per_sec",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/sec",
+        "vs_baseline": round(scenes_per_sec / baseline_a100, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

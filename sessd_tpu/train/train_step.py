@@ -80,7 +80,8 @@ def _flatten_voxels(batch, suffix=""):
 
 def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
                     ema_decay_cap: float = 0.999,
-                    compute_teacher_metrics: bool = True):
+                    compute_teacher_metrics: bool = True,
+                    axis_name: str | None = None):
     """Builds the jittable train_step(state, batch, consistency_weight).
 
     batch (all leading dim B):
@@ -121,6 +122,10 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
             return total, (new_stats, metrics)
 
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            # data-parallel gradient all-reduce (mean), emitted by XLA over
+            # ICI — the DDP/allreduce_grads equivalent (SURVEY §2.3)
+            grads = jax.lax.pmean(grads, axis_name)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -139,6 +144,8 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
             metrics["loss_ema"] = tea_loss
 
         metrics["grad_norm"] = optax.global_norm(grads)
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
 
         new_state = TrainState(
             step=state.step + 1,

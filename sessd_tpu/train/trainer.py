@@ -1,0 +1,198 @@
+"""Trainer: the epoch loop around the jitted SE-SSD step.
+
+Replaces the reference's Trainer + hook framework + apis/train_sessd
+(trainer_sessd.py:54-512, train_sessd.py:253-323). Responsibilities that
+were hooks are now inline code in one readable loop: one-cycle stepping is
+inside the optimizer, EMA is inside the jitted step, checkpointing is
+orbax, the val workflow runs the fixed-shape predict path + host AP.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import builder
+from ..models.predict import predict_batch
+from ..parallel.mesh import (DATA_AXIS, make_mesh, make_sharded_train_step,
+                             replicate, shard_batch)
+from ..utils import checkpoint as ckpt
+from ..utils.logging import LogBuffer, TextLogger, get_root_logger
+from .train_step import TrainState, create_train_state, make_train_step, sigmoid_rampup
+
+
+def _device_batch(batch: dict) -> dict:
+    """Strip host-only fields and convert transformation dtypes."""
+    drop = {"metadata", "calib", "frustum", "gt_boxes", "num_gt"}
+    out = {k: v for k, v in batch.items() if k not in drop}
+    return out
+
+
+class Trainer:
+    def __init__(self, cfg, work_dir: Optional[str] = None, seed: int = 0,
+                 distributed: bool = True):
+        self.cfg = cfg
+        self.work_dir = work_dir or cfg.work_dir
+        self.seed = seed
+        self.logger = get_root_logger(self.work_dir)
+
+        self.train_dataset = builder.build_dataset(cfg, "train", seed=seed)
+        self.val_dataset = builder.build_dataset(cfg, "val", seed=seed)
+        self.train_loader = builder.build_dataloader(cfg, self.train_dataset,
+                                                     shuffle=True, seed=seed)
+        self.val_loader = builder.build_dataloader(cfg, self.val_dataset,
+                                                   shuffle=False, seed=seed)
+
+        steps_per_epoch = len(self.train_loader)
+        self.optimizer, self.opt_cfg = builder.build_optimizer_from_cfg(
+            cfg, steps_per_epoch)
+        self.loss_cfg = builder.build_loss_config(cfg)
+        self.predict_cfg = builder.build_predict_config(cfg)
+
+        self.mesh = make_mesh() if distributed else None
+        axis = DATA_AXIS if self.mesh is not None else None
+        self.model = builder.build_detector(cfg, axis_name=axis)
+        init_model = builder.build_detector(cfg, axis_name=None)
+
+        sample = next(iter(builder.build_dataloader(
+            cfg, self.val_dataset, shuffle=False, seed=seed)))
+        sample = _device_batch(sample)
+        # synthesize missing train-only keys for init
+        self.state = create_train_state(
+            init_model, self.optimizer,
+            {k: jnp.asarray(v) for k, v in sample.items()
+             if k in ("voxels", "coords", "num_points", "voxel_mask")},
+            batch_size=cfg.data["samples_per_gpu"],
+        )
+
+        step = make_train_step(self.model, self.optimizer, self.loss_cfg,
+                               ema_decay_cap=cfg.get("ema_decay_cap", 0.999),
+                               axis_name=axis)
+        if self.mesh is not None:
+            self.train_step = make_sharded_train_step(step, self.mesh)
+            self.state = replicate(self.state, self.mesh)
+        else:
+            self.train_step = jax.jit(step)
+
+        self.epoch = 0
+        self.anchors = jnp.asarray(self.train_dataset.anchors.astype(np.float32))
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    def resume(self):
+        state, epoch = ckpt.load_checkpoint(self.work_dir, self.state)
+        if state is not None:
+            self.state = (replicate(state, self.mesh) if self.mesh is not None
+                          else state)
+            self.epoch = epoch
+            self.logger.info(f"resumed from epoch {epoch}")
+
+    def load_from(self, pretrained_dir):
+        state = ckpt.load_params_only(pretrained_dir, self.state)
+        if state is not None:
+            self.state = (replicate(state, self.mesh) if self.mesh is not None
+                          else state)
+            self.logger.info(f"warm start (student+teacher) from {pretrained_dir}")
+
+    # ------------------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        total_epochs = cfg.total_epochs
+        iters_per_epoch = len(self.train_loader)
+        text = TextLogger(self.logger, cfg.log_config.get("interval", 10),
+                          total_iters=total_epochs * iters_per_epoch,
+                          json_path=f"{self.work_dir}/log.json")
+        buf = LogBuffer()
+        from .optim import one_cycle_lr
+
+        lr_fn = one_cycle_lr(self.opt_cfg)
+        rampup = cfg.get("consistency_rampup_epochs", 15.0)
+
+        while self.epoch < total_epochs:
+            self.train_loader.set_epoch(self.epoch)
+            cw = float(sigmoid_rampup(self.epoch, rampup)) if cfg.my_paras.get(
+                "enable_ssl", True) else 0.0
+            t_data = time.time()
+            for it, batch in enumerate(self.train_loader):
+                db = _device_batch(batch)
+                if self.mesh is not None:
+                    db = shard_batch(db, self.mesh)
+                data_time = time.time() - t_data
+                t0 = time.time()
+                self.state, metrics = self.train_step(
+                    self.state, db, jnp.float32(cw))
+                metrics["loss"].block_until_ready()
+                step_time = time.time() - t0
+                buf.update({k: v for k, v in metrics.items()
+                            if np.ndim(v) == 0})
+                text.step(self.epoch + 1, it, iters_per_epoch, buf.average(10),
+                          lr=float(lr_fn(int(self.state.step))),
+                          data_time=data_time, step_time=step_time)
+                t_data = time.time()
+            self.epoch += 1
+            if self.epoch % self.cfg.checkpoint_config.get("interval", 1) == 0:
+                ckpt.save_checkpoint(self.work_dir, jax.device_get(self.state),
+                                     self.epoch)
+                self.logger.info(f"saved checkpoint at epoch {self.epoch}")
+        # final val (workflow [("train", N), ("val", 1)])
+        results = self.validate()
+        return results
+
+    # ------------------------------------------------------------------
+    def _build_eval_fn(self, use_ema: bool = False):
+        model = builder.build_detector(self.cfg, axis_name=None)
+        predict_cfg = self.predict_cfg
+        anchors = self.anchors
+        batch_size = self.cfg.data["samples_per_gpu"]
+
+        def eval_fn(params, batch_stats, voxels, coords, num_points, mask,
+                    frustum):
+            b, v = voxels.shape[:2]
+            bi = jax.lax.broadcasted_iota(jnp.int32, (b, v, 1), 0)
+            coords4 = jnp.concatenate([bi, coords], axis=-1).reshape(b * v, 4)
+            preds = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                voxels.reshape((b * v,) + voxels.shape[2:]), coords4,
+                num_points.reshape(-1), mask.reshape(-1), b, train=False)
+            return predict_batch(preds[0], anchors, frustum, predict_cfg)
+
+        return jax.jit(eval_fn)
+
+    def validate(self, use_ema: bool = False, max_batches: Optional[int] = None):
+        """Run the student over the val split and compute official AP
+        (trainer_sessd.py:362-415 val workflow)."""
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        params = self.state.ema_params if use_ema else self.state.params
+        stats = self.state.ema_batch_stats if use_ema else self.state.batch_stats
+        params = jax.device_get(params)
+        stats = jax.device_get(stats)
+
+        detections = []
+        for bi, batch in enumerate(self.val_loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            dets = self._eval_fn(
+                params, stats,
+                jnp.asarray(batch["voxels"]), jnp.asarray(batch["coords"]),
+                jnp.asarray(batch["num_points"]), jnp.asarray(batch["voxel_mask"]),
+                jnp.asarray(batch["frustum"]))
+            dets = jax.device_get(dets)
+            for i, meta in enumerate(batch["metadata"]):
+                valid = dets["valid"][i]
+                detections.append({
+                    "box3d_lidar": dets["box3d_lidar"][i][valid],
+                    "scores": dets["scores"][i][valid],
+                    "label_preds": dets["label_preds"][i][valid],
+                    "metadata": meta,
+                })
+        detections = detections[: len(self.val_dataset)]
+        results, _ = self.val_dataset.evaluation(detections)
+        if results is not None:
+            from ..data.kitti_eval import format_results
+
+            self.logger.info("\n" + format_results(results))
+        return results

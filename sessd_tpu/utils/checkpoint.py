@@ -1,0 +1,68 @@
+"""Checkpointing with orbax — the one-atomic-pytree replacement for the
+reference's paired .pth files + symlinks (trainer/checkpoint.py:42-220,
+trainer_sessd.py:212-246): student, EMA teacher, BN stats, optimizer state
+and step live in a single TrainState tree per checkpoint directory.
+"""
+from __future__ import annotations
+
+import pathlib
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _manager(work_dir, max_to_keep=None) -> ocp.CheckpointManager:
+    path = pathlib.Path(work_dir).resolve() / "checkpoints"
+    path.mkdir(parents=True, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+    return ocp.CheckpointManager(path, options=options)
+
+
+def save_checkpoint(work_dir, state, epoch: int, metadata: Optional[dict] = None):
+    """Save the full TrainState at an epoch boundary (CheckpointHook)."""
+    mgr = _manager(work_dir)
+    state_np = jax.tree_util.tree_map(np.asarray, state)
+    mgr.save(epoch, args=ocp.args.Composite(
+        state=ocp.args.StandardSave(state_np),
+    ))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_epoch(work_dir) -> Optional[int]:
+    mgr = _manager(work_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def load_checkpoint(work_dir, state_template, epoch: Optional[int] = None):
+    """Restore into the structure of ``state_template``; returns (state, epoch)."""
+    mgr = _manager(work_dir)
+    if epoch is None:
+        epoch = mgr.latest_step()
+    if epoch is None:
+        mgr.close()
+        return None, None
+    template_np = jax.tree_util.tree_map(np.asarray, state_template)
+    restored = mgr.restore(epoch, args=ocp.args.Composite(
+        state=ocp.args.StandardRestore(template_np)))
+    mgr.close()
+    return restored["state"], epoch
+
+
+def load_params_only(work_dir, state_template, epoch: Optional[int] = None):
+    """Warm start: initialize student AND teacher params from a pretrained
+    checkpoint (load_checkpoint_from_scratch, trainer_sessd.py:212-217)."""
+    state, ep = load_checkpoint(work_dir, state_template, epoch)
+    if state is None:
+        return None
+    return state_template._replace(
+        params=state.params,
+        ema_params=state.params,
+        batch_stats=state.batch_stats,
+        ema_batch_stats=state.batch_stats,
+        opt_state=state.opt_state,
+    )

@@ -1,0 +1,90 @@
+"""Training logs: averaging buffer + text logger with ETA and stage timings.
+
+Replaces the reference's LogBuffer/TextLoggerHook/IterTimerHook trio
+(trainer/log_buffer.py, hooks/logger/text.py:12-120, hooks/iter_timer.py).
+Because the whole step is one jitted function, the reference's per-stage
+hook timings collapse to (data_time, step_time); deep profiling goes
+through jax.profiler traces instead (sessd_tpu/utils/profiling.py).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import pathlib
+import sys
+import time
+from collections import OrderedDict, defaultdict
+
+
+def get_root_logger(work_dir=None, level=logging.INFO) -> logging.Logger:
+    logger = logging.getLogger("sessd_tpu")
+    if logger.handlers:
+        return logger
+    logger.setLevel(level)
+    fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if work_dir is not None:
+        path = pathlib.Path(work_dir)
+        path.mkdir(parents=True, exist_ok=True)
+        fh = logging.FileHandler(path / f"{time.strftime('%Y%m%d_%H%M%S')}.log")
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+class LogBuffer:
+    """Windowed averaging of scalar metrics (trainer/log_buffer.py)."""
+
+    def __init__(self):
+        self.history = defaultdict(list)
+        self.output = OrderedDict()
+
+    def update(self, metrics: dict):
+        for k, v in metrics.items():
+            self.history[k].append(float(v))
+
+    def average(self, n: int = 0):
+        self.output = OrderedDict()
+        for k, vals in self.history.items():
+            window = vals[-n:] if n > 0 else vals
+            if window:
+                self.output[k] = sum(window) / len(window)
+        return self.output
+
+    def clear(self):
+        self.history.clear()
+        self.output.clear()
+
+
+class TextLogger:
+    def __init__(self, logger, interval: int = 10, total_iters: int = 0,
+                 json_path=None):
+        self.logger = logger
+        self.interval = interval
+        self.total_iters = total_iters
+        self.start = time.time()
+        self.done = 0
+        self.json_path = pathlib.Path(json_path) if json_path else None
+
+    def step(self, epoch, it, iters_per_epoch, metrics: dict,
+             lr: float = 0.0, data_time: float = 0.0, step_time: float = 0.0):
+        self.done += 1
+        if (it + 1) % self.interval:
+            return
+        elapsed = time.time() - self.start
+        eta = ""
+        if self.total_iters:
+            remain = elapsed / max(self.done, 1) * (self.total_iters - self.done)
+            eta = f"eta: {int(remain // 3600)}:{int(remain % 3600 // 60):02d}:{int(remain % 60):02d}, "
+        parts = ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items()
+                          if not k.startswith("_"))
+        self.logger.info(
+            f"Epoch [{epoch}][{it + 1}/{iters_per_epoch}] lr: {lr:.5f}, {eta}"
+            f"data_time: {data_time:.3f}, step_time: {step_time:.3f}, {parts}")
+        if self.json_path:
+            with open(self.json_path, "a") as f:
+                rec = dict(epoch=epoch, iter=it + 1, lr=lr, **{
+                    k: float(v) for k, v in metrics.items()})
+                f.write(json.dumps(rec) + "\n")

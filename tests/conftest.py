@@ -15,6 +15,10 @@ import pytest  # noqa: E402
 
 import jax  # noqa: E402
 
+# the axon sitecustomize hook sets jax_platforms="axon,cpu" via jax.config,
+# which outranks the env var — force CPU through the same channel
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

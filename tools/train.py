@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Train SE-SSD (tools/train.py equivalent).
+
+Usage: python tools/train.py CONFIG [--work_dir D] [--resume_from D]
+       [--seed N] [--no-dist]
+
+Distribution model: unlike the reference's per-GPU torch.distributed.launch
+processes (tools/train.py:68-75), this is a single process driving a
+jax.sharding Mesh over all local devices; multi-host runs launch the same
+script once per host (jax.distributed handles rendezvous).
+"""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train a detector")
+    parser.add_argument("config", help="config file path")
+    parser.add_argument("--work_dir", default=None)
+    parser.add_argument("--resume_from", default=None)
+    parser.add_argument("--load_from", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--no-dist", action="store_true",
+                        help="single-device (no mesh)")
+    args = parser.parse_args()
+
+    from sessd_tpu.config import Config
+    from sessd_tpu.train.trainer import Trainer
+
+    cfg = Config.fromfile(args.config)
+    work_dir = args.work_dir or cfg.work_dir
+
+    trainer = Trainer(cfg, work_dir=work_dir, seed=args.seed,
+                      distributed=not args.no_dist)
+    load_from = args.load_from or cfg.get("load_from")
+    if load_from:
+        trainer.load_from(load_from)
+    if args.resume_from or cfg.get("resume_from"):
+        trainer.resume()
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()
