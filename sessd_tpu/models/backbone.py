@@ -83,6 +83,12 @@ class SpMiddleFHD(nn.Module):
             sparse_shape: (D, H, W) static, e.g. (41, 1600, 1408).
         """
         d, h, w = sparse_shape
+        # the stage chain needs D: d -> .. -> 2 (41 -> 21 -> 11 -> 5 -> 2)
+        d3 = ((d - 1) // 2 + 1 - 1) // 2 + 1
+        d4 = (d3 - 3) // 2 + 1
+        assert (d4 - 3) // 2 + 1 >= 1, (
+            f"sparse depth {d} collapses before the final stage; the "
+            f"SpMiddleFHD geometry needs a 40+1-deep z grid (scn.py:106-149)")
         shape = (batch_size, d, h, w)
         caps = [c * batch_size for c in self.stage_capacity]
 

@@ -39,8 +39,13 @@ class SSFA(nn.Module):
         t1 = ConvBnRelu(256, (1, 1), **kw)(x1, train)   # trans_1
 
         # deconv blocks: 3x3 stride-2 transpose back to full resolution
-        m0 = ConvBnRelu(128, (3, 3), strides=(2, 2), transpose=True, **kw)(t1, train) + t0
-        m1 = ConvBnRelu(128, (3, 3), strides=(2, 2), transpose=True, **kw)(t1, train)
+        # (crop to the skip size — torch's output_padding arithmetic for odd
+        # BEV extents; identical for the 200x176 KITTI map)
+        h, w = x0.shape[1], x0.shape[2]
+        m0 = ConvBnRelu(128, (3, 3), strides=(2, 2), transpose=True, **kw)(
+            t1, train)[:, :h, :w, :] + t0
+        m1 = ConvBnRelu(128, (3, 3), strides=(2, 2), transpose=True, **kw)(
+            t1, train)[:, :h, :w, :]
 
         o0 = ConvBnRelu(128, (3, 3), **kw)(m0, train)   # conv_0
         o1 = ConvBnRelu(128, (3, 3), **kw)(m1, train)   # conv_1

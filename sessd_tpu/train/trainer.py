@@ -24,10 +24,14 @@ from ..utils.logging import LogBuffer, TextLogger, get_root_logger
 from .train_step import TrainState, create_train_state, make_train_step, sigmoid_rampup
 
 
-def _device_batch(batch: dict) -> dict:
-    """Strip host-only fields and convert transformation dtypes."""
+def _device_batch(batch: dict, anchors: Optional[np.ndarray] = None) -> dict:
+    """Strip host-only fields; inject the shared anchor grid [B, A, 7]."""
     drop = {"metadata", "calib", "frustum", "gt_boxes", "num_gt"}
     out = {k: v for k, v in batch.items() if k not in drop}
+    if anchors is not None and "anchors" not in out:
+        b = batch["voxels"].shape[0]
+        out["anchors"] = np.broadcast_to(
+            anchors.astype(np.float32), (b,) + anchors.shape)
     return out
 
 
@@ -52,7 +56,13 @@ class Trainer:
         self.loss_cfg = builder.build_loss_config(cfg)
         self.predict_cfg = builder.build_predict_config(cfg)
 
-        self.mesh = make_mesh() if distributed else None
+        if distributed:
+            bs = cfg.data["samples_per_gpu"]
+            n_dev = len(jax.devices())
+            k = max(d for d in range(1, min(n_dev, bs) + 1) if bs % d == 0)
+            self.mesh = make_mesh(jax.devices()[:k]) if k > 1 else None
+        else:
+            self.mesh = None
         axis = DATA_AXIS if self.mesh is not None else None
         self.model = builder.build_detector(cfg, axis_name=axis)
         init_model = builder.build_detector(cfg, axis_name=None)
@@ -78,7 +88,8 @@ class Trainer:
             self.train_step = jax.jit(step)
 
         self.epoch = 0
-        self.anchors = jnp.asarray(self.train_dataset.anchors.astype(np.float32))
+        self.anchors_np = self.train_dataset.anchors.astype(np.float32)
+        self.anchors = jnp.asarray(self.anchors_np)
         self._eval_fn = None
 
     # ------------------------------------------------------------------
@@ -117,7 +128,7 @@ class Trainer:
                 "enable_ssl", True) else 0.0
             t_data = time.time()
             for it, batch in enumerate(self.train_loader):
-                db = _device_batch(batch)
+                db = _device_batch(batch, self.anchors_np)
                 if self.mesh is not None:
                     db = shard_batch(db, self.mesh)
                 data_time = time.time() - t_data
