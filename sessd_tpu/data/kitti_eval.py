@@ -326,6 +326,29 @@ def get_official_eval_result(gt_annos, dt_annos, classes=("Car",),
     return out
 
 
+def get_coco_eval_result(gt_annos, dt_annos, classes=("Car",)) -> dict:
+    """COCO-style AP sweep: mean AP over IoU 0.50:0.05:0.95
+    (eval.py:675 get_coco_eval_result)."""
+    overlaps = np.arange(0.5, 0.96, 0.05)
+    out = {}
+    for cls in classes:
+        cls_out = {}
+        for metric, mname in [(0, "bbox"), (1, "bev"), (2, "3d")]:
+            per_diff = {}
+            for diff in (0, 1, 2):
+                ap11s, ap40s = [], []
+                for mo in overlaps:
+                    prec, _ = eval_class(gt_annos, dt_annos, cls, diff, metric,
+                                         float(mo), compute_aos=False)
+                    ap11s.append(get_mAP11(prec))
+                    ap40s.append(get_mAP40(prec))
+                per_diff[diff] = {"AP11_coco": float(np.mean(ap11s)),
+                                  "AP40_coco": float(np.mean(ap40s))}
+            cls_out[mname] = per_diff
+        out[cls] = cls_out
+    return out
+
+
 def format_results(results: dict) -> str:
     lines = []
     for cls, metrics in results.items():

@@ -85,15 +85,29 @@ class ConvBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # torch-style symmetric padding k//2 (flax "SAME" pads right-only for
+        # even extents at stride 2, which would misalign converted weights)
+        pad = self.padding
+        if pad == "SAME" and not self.transpose:
+            pad = tuple((k // 2, k // 2) for k in self.kernel)
         if self.transpose:
+            # torch ConvTranspose2d(k, s, padding=p, output_padding=s-1)
+            # == flax VALID transpose cropped by p at the start, size s*in
+            # (validated in tests/test_convert_torch.py)
+            h, w = x.shape[1], x.shape[2]
             x = nn.ConvTranspose(
-                self.features, self.kernel, strides=self.strides, padding=self.padding,
+                self.features, self.kernel, strides=self.strides, padding="VALID",
                 use_bias=False, dtype=self.dtype,
                 kernel_init=nn.initializers.xavier_uniform(),
             )(x)
+            # odd kernels mirror torch padding=k//2 (+output_padding=s-1);
+            # even kernels (k==s upsamplers) are torch padding=0, no crop
+            p0 = self.kernel[0] // 2 if self.kernel[0] % 2 else 0
+            p1 = self.kernel[1] // 2 if self.kernel[1] % 2 else 0
+            x = x[:, p0 : p0 + h * self.strides[0], p1 : p1 + w * self.strides[1], :]
         else:
             x = nn.Conv(
-                self.features, self.kernel, strides=self.strides, padding=self.padding,
+                self.features, self.kernel, strides=self.strides, padding=pad,
                 use_bias=False, dtype=self.dtype,
                 kernel_init=nn.initializers.xavier_uniform(),
             )(x)
