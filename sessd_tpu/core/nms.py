@@ -41,24 +41,46 @@ def rotate_nms(
     top_scores, order = jax.lax.top_k(scores, pre)
     top_boxes = boxes5[order]
     iou = iou_bev_matrix(top_boxes, top_boxes, row_chunk=_chunk(pre, row_chunk))
-    overlap = iou > iou_threshold
     valid_in = top_scores > -jnp.inf
 
-    def body(i, sup):
-        # visit boxes in descending score order; an unsuppressed box is kept
-        # and suppresses everything it overlaps (suppressed boxes stay inert)
-        is_kept = (~sup[i]) & valid_in[i]
-        new_sup = sup | (is_kept & overlap[i])
-        return new_sup.at[i].set(sup[i])  # own state unchanged (overlap[i,i]=1)
-
-    suppressed = jax.lax.fori_loop(0, pre, body, jnp.zeros((pre,), dtype=bool))
-    kept = (~suppressed) & valid_in
+    # overlap[j, i] = "higher-scored valid j can suppress i" (strict lower
+    # triangle in score order)
+    kept = _greedy_keep(iou, valid_in, iou_threshold)
 
     # compact kept indices (stable, score-descending order) into post_max_size
     kept_rank = jnp.where(kept, jnp.arange(pre), pre + 1)
     sel = jnp.argsort(kept_rank)[:post_max_size]
     sel_valid = kept[sel]
     return jnp.where(sel_valid, order[sel], 0), sel_valid
+
+
+def _greedy_keep(iou: jnp.ndarray, valid_in: jnp.ndarray, iou_threshold: float):
+    """Exact greedy NMS as a fixpoint instead of an n-step sequential loop.
+
+    With boxes in descending score order, suppressed = F(suppressed) where
+    F(s)[i] = exists j<i: !s[j] & overlap[j,i]. F is antitone with a unique
+    fixpoint (induction on score rank shows it equals the greedy result);
+    iterating from s=F(0) converges in O(suppression-chain depth) matrix
+    passes — a handful on real scenes — trading ~1000 tiny sequential ops
+    (which cost ~0.5s on TPU) for a few [n, n] VPU passes.
+    """
+    pre = iou.shape[0]
+    tri = jnp.arange(pre)[:, None] < jnp.arange(pre)[None, :]
+    overlap = (iou > iou_threshold) & tri & valid_in[:, None]
+
+    def cond(state):
+        s, prev, it = state
+        return (it < pre) & jnp.any(s != prev)
+
+    def body(state):
+        s, _, it = state
+        new = jnp.any((~s)[:, None] & overlap, axis=0)
+        return new, s, it + 1
+
+    s0 = jnp.zeros((pre,), dtype=bool)
+    s1 = jnp.any(overlap, axis=0)
+    suppressed, _, _ = jax.lax.while_loop(cond, body, (s1, s0, jnp.int32(0)))
+    return (~suppressed) & valid_in
 
 
 def _chunk(n: int, row_chunk: int | None):
@@ -106,14 +128,7 @@ def rotate_weighted_nms(
     b7 = boxes[order]
     iou = iou_bev_matrix(b5, b5, row_chunk=_chunk(pre, row_chunk))
     valid_in = top_scores > -jnp.inf
-
-    def body(i, sup):
-        is_kept = (~sup[i]) & valid_in[i]
-        new_sup = sup | (is_kept & (iou[i] > iou_threshold))
-        return new_sup.at[i].set(sup[i])
-
-    suppressed = jax.lax.fori_loop(0, pre, body, jnp.zeros((pre,), dtype=bool))
-    kept = (~suppressed) & valid_in
+    kept = _greedy_keep(iou, valid_in, iou_threshold)
 
     # cluster membership: every box joins the highest-scoring kept box that
     # overlaps it above suppressed_thresh (including itself).
