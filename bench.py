@@ -32,6 +32,9 @@ def make_points(rng, n=18000):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from sessd_tpu.models import VoxelNet
@@ -60,29 +63,49 @@ def main():
         dets = predict_batch(preds[0], anchors, None, cfg)
         return dets["box3d_lidar"], dets["scores"], dets["valid"]
 
-    # init from a voxelized example (shapes identical)
+    # init from a voxelized example (shapes identical); init runs on the CPU
+    # backend — its one-shot forward trace compiles far faster there than
+    # through the remote TPU compile path
     voxels, coords_zyx, num_points, _ = jax.jit(
         lambda p: voxelize_jax(p, spec))(points)
     coords = jnp.concatenate(
         [jnp.zeros((spec.max_voxels, 1), jnp.int32), coords_zyx], axis=1)
     valid = coords_zyx[:, 0] >= 0
-    variables = model.init(jax.random.PRNGKey(0), voxels, coords, num_points,
-                           valid, 1, train=False)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import numpy as _np
+
+    if cpu is not None:
+        with jax.default_device(cpu):
+            variables = model.init(
+                jax.random.PRNGKey(0), *jax.device_put(
+                    (voxels, coords, num_points, valid), cpu), 1, train=False)
+        variables = jax.device_put(
+            jax.tree_util.tree_map(_np.asarray, variables), jax.devices()[0])
+    else:
+        variables = model.init(jax.random.PRNGKey(0), voxels, coords,
+                               num_points, valid, 1, train=False)
 
     fn = jax.jit(infer)
-    out = fn(variables, points)
-    jax.block_until_ready(out)
 
-    # warm
+    def fetch(out):
+        # force a real device->host readback: block_until_ready through the
+        # axon tunnel can return before execution finishes
+        return float(np.asarray(out[1][0, 0]))
+
+    out = fn(variables, points)
+    fetch(out)
     for _ in range(3):
         out = fn(variables, points)
-    jax.block_until_ready(out)
+    fetch(out)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(variables, points)
-    jax.block_until_ready(out)
+    fetch(out)
     dt = time.perf_counter() - t0
 
     scenes_per_sec = iters / dt

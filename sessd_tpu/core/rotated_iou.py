@@ -75,60 +75,65 @@ def _segment_intersections(ca: jnp.ndarray, cb: jnp.ndarray):
     return pts.reshape(shape), valid.reshape(valid.shape[:-2] + (16,))
 
 
+def _clip_edge_contributions(pa: jnp.ndarray, qa: jnp.ndarray,
+                             own_boundary: bool) -> jnp.ndarray:
+    """Green's-theorem contribution of polygon P's edges clipped by convex
+    polygon Q. pa, qa: [..., 4, 2] CCW corners. Returns [...] signed sum of
+    0.5*cross(u, v) over the clipped sub-segments of P's edges.
+
+    ``own_boundary``: whether P-edge segments lying exactly ON Q's boundary
+    count as inside. Exactly one of the two passes must claim coincident
+    edges or identical boxes would double-count (or drop) them.
+    """
+    a = pa  # edge starts [..., 4, 2]
+    b = jnp.roll(pa, -1, axis=-2)
+    d = b - a
+    # half-planes of Q: inside iff cross(q1-q0, x-q0) >= 0 (CCW)
+    q0 = qa[..., None, :, :]             # [..., 1, 4, 2]
+    e = jnp.roll(qa, -1, axis=-2)[..., None, :, :] - q0  # [..., 1, 4, 2]
+    ax = a[..., :, None, :]              # [..., 4, 1, 2]
+    dx = d[..., :, None, :]
+    # signed distance along the edge: s(t) = s0 + t * sd
+    s0 = e[..., 0] * (ax[..., 1] - q0[..., 1]) - e[..., 1] * (ax[..., 0] - q0[..., 0])
+    sd = e[..., 0] * dx[..., 1] - e[..., 1] * dx[..., 0]  # [..., 4, 4]
+    t_at0 = -s0 / jnp.where(jnp.abs(sd) < _EPS, 1.0, sd)
+    lo = jnp.where(sd > _EPS, t_at0, 0.0)
+    hi = jnp.where(sd < -_EPS, t_at0, 1.0)
+    # parallel-to-plane edges: feasible iff on the inside; boundary-coincident
+    # edges belong to exactly one pass (see own_boundary)
+    tol = -1e-6 if own_boundary else 1e-6
+    infeasible = (jnp.abs(sd) <= _EPS) & (s0 < tol)
+    t0 = jnp.clip(jnp.max(lo, axis=-1), 0.0, 1.0)  # [..., 4]
+    t1 = jnp.clip(jnp.min(hi, axis=-1), 0.0, 1.0)
+    ok = (t1 > t0) & ~jnp.any(infeasible, axis=-1)
+    u = a + t0[..., None] * d
+    v = a + t1[..., None] * d
+    contrib = 0.5 * (u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0])
+    return jnp.sum(jnp.where(ok, contrib, 0.0), axis=-1)
+
+
 def overlap_bev(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
     """Intersection area of rotated BEV boxes; broadcasts over leading dims.
 
     boxes: [..., 5] (x, y, w, l, r) or [..., 7] full boxes.
     TPU-native equivalent of ``boxes_overlap_bev_gpu`` (iou3d.cpp exports).
+
+    Sort-free formulation: the boundary of A∩B consists of the parts of A's
+    edges inside B plus the parts of B's edges inside A; by Green's theorem
+    the area is the sum of 0.5*cross(u, v) over those ordered sub-segments,
+    each found by clipping an edge's parameter range against the other
+    box's four half-planes. No vertex gathering, no angular argsort — pure
+    elementwise VPU math (the argsort variant cost ~0.7ms/1M pairs *per
+    pair batch* on TPU due to scalarized minor-dim gathers).
     """
     b1 = _as_bev5(boxes1)
     b2 = _as_bev5(boxes2)
-    c1 = bev_corners(b1)  # [..., 4, 2]
-    c2 = bev_corners(b2)
-
-    in2 = _points_in_rot_rect(c1, b2)  # corners of 1 inside 2, [..., 4]
-    in1 = _points_in_rot_rect(c2, b1)
-    xpts, xval = _segment_intersections(c1, c2)  # [..., 16, 2], [..., 16]
-
-    batch = xpts.shape[:-2]
-    pts = jnp.concatenate(
-        [
-            jnp.broadcast_to(c1, batch + (4, 2)),
-            jnp.broadcast_to(c2, batch + (4, 2)),
-            xpts,
-        ],
-        axis=-2,
-    )  # [..., 24, 2]
-    valid = jnp.concatenate(
-        [
-            jnp.broadcast_to(in2, batch + (4,)),
-            jnp.broadcast_to(in1, batch + (4,)),
-            xval,
-        ],
-        axis=-1,
-    )  # [..., 24]
-
-    nvalid = jnp.sum(valid, axis=-1)  # [...]
-    vf = valid.astype(pts.dtype)
-    center = jnp.sum(pts * vf[..., None], axis=-2) / jnp.maximum(
-        nvalid[..., None], 1
-    ).astype(pts.dtype)
-
-    rel = pts - center[..., None, :]
-    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid points sort last
-    order = jnp.argsort(ang, axis=-1)
-    rel_sorted = jnp.take_along_axis(rel, order[..., None], axis=-2)
-
-    # shoelace over the first nvalid sorted points with wraparound
-    idx = jnp.arange(24)
-    k = nvalid[..., None]  # [..., 1] broadcasts against idx [24]
-    succ = jnp.where(idx + 1 < k, idx + 1, 0)
-    nxt = jnp.take_along_axis(rel_sorted, succ[..., None], axis=-2)
-    cross = rel_sorted[..., 0] * nxt[..., 1] - rel_sorted[..., 1] * nxt[..., 0]
-    cross = jnp.where(idx < k, cross, 0.0)
-    area = 0.5 * jnp.abs(jnp.sum(cross, axis=-1))
-    return jnp.where(nvalid >= 3, area, 0.0)
+    # bev_corners yields clockwise rings; reverse to CCW for positive areas
+    c1 = bev_corners(b1)[..., ::-1, :]
+    c2 = bev_corners(b2)[..., ::-1, :]
+    area = (_clip_edge_contributions(c1, c2, own_boundary=True)
+            + _clip_edge_contributions(c2, c1, own_boundary=False))
+    return jnp.maximum(area, 0.0)
 
 
 def iou_bev(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
