@@ -2,12 +2,14 @@
 reference's CUDA extensions (det3d/core/iou3d/src/iou3d_kernel.cu and
 det3d/ops/nms/nms_gpu.py).
 
-Algorithm (same as the CUDA kernel): the intersection of two rotated
-rectangles is a convex polygon whose vertices are (a) corners of box A inside
-box B, (b) corners of B inside A, (c) pairwise edge intersections. We gather
-all 24 candidate vertices with a validity mask, sort them by angle around
-their centroid, and apply the shoelace formula — all fixed-shape, fully
-vectorized, differentiable, and jit/vmap friendly.
+Algorithm: instead of the CUDA kernel's vertex-collection + angular sort
+(which maps terribly onto the TPU — minor-dim argsort/gather scalarizes),
+the intersection area comes from Green's theorem over clipped edges: the
+boundary of A∩B is the union of A-edge parts inside B and B-edge parts
+inside A; each part is a parameter interval found by clipping against four
+half-planes, and its 0.5*cross(u, v) line-integral contributions sum to the
+area. Pure elementwise math — fixed-shape, differentiable, vmap/broadcast
+friendly, ~100x faster than the sort formulation on TPU.
 
 Everything broadcasts: ``overlap_bev(a[..., 5], b[..., 5]) -> [...]``.
 Pairwise [N, M] matrices are built by the callers via broadcasting (see
@@ -21,8 +23,6 @@ import jax.numpy as jnp
 from .box_jax import bev_corners
 
 _EPS = 1e-8
-# corner-in-box slack, matching the CUDA kernel's EPS (iou3d_kernel.cu)
-_IN_BOX_EPS = 1e-5
 
 
 def _as_bev5(boxes: jnp.ndarray) -> jnp.ndarray:
@@ -30,49 +30,6 @@ def _as_bev5(boxes: jnp.ndarray) -> jnp.ndarray:
     if boxes.shape[-1] == 7:
         return boxes[..., jnp.array([0, 1, 3, 4, 6])]
     return boxes
-
-
-def _points_in_rot_rect(pts: jnp.ndarray, box5: jnp.ndarray) -> jnp.ndarray:
-    """pts [..., K, 2] vs box5 [..., 5] -> bool [..., K]."""
-    d = pts - box5[..., None, :2]
-    c, s = jnp.cos(box5[..., 4:5]), jnp.sin(box5[..., 4:5])
-    # inverse of the clockwise-positive corner rotation (see box_jax.bev_corners)
-    lx = d[..., 0] * c - d[..., 1] * s
-    ly = d[..., 0] * s + d[..., 1] * c
-    return (jnp.abs(lx) <= box5[..., None, 2] * 0.5 + _IN_BOX_EPS) & (
-        jnp.abs(ly) <= box5[..., None, 3] * 0.5 + _IN_BOX_EPS
-    )
-
-
-def _segment_intersections(ca: jnp.ndarray, cb: jnp.ndarray):
-    """All 16 edge-pair intersections of two quads.
-
-    ca, cb: [..., 4, 2] corners. Returns (pts [..., 16, 2], valid [..., 16]).
-    """
-    a0 = ca  # [..., 4, 2]
-    a1 = jnp.roll(ca, -1, axis=-2)
-    b0 = cb
-    b1 = jnp.roll(cb, -1, axis=-2)
-    # broadcast to [..., 4(a), 4(b), 2]
-    p = a0[..., :, None, :]
-    r = (a1 - a0)[..., :, None, :]
-    q = b0[..., None, :, :]
-    s = (b1 - b0)[..., None, :, :]
-    rxs = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
-    qp = q - p
-    t_num = qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]
-    u_num = qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]
-    denom = jnp.where(jnp.abs(rxs) < _EPS, 1.0, rxs)
-    t = t_num / denom
-    u = u_num / denom
-    valid = (
-        (jnp.abs(rxs) >= _EPS)
-        & (t >= 0.0) & (t <= 1.0)
-        & (u >= 0.0) & (u <= 1.0)
-    )
-    pts = p + t[..., None] * r
-    shape = pts.shape[:-3] + (16, 2)
-    return pts.reshape(shape), valid.reshape(valid.shape[:-2] + (16,))
 
 
 def _clip_edge_contributions(pa: jnp.ndarray, qa: jnp.ndarray,

@@ -1,0 +1,115 @@
+"""Predict-path unit tests: decode/rectify/NMS/dir-flip/range-mask and the
+DI-NMS variant."""
+import numpy as np
+import pytest
+
+
+def make_preds(rng, a=70400 // 100):
+    import jax.numpy as jnp
+
+    # random logits: mostly below threshold, a few confident anchors
+    cls = rng.randn(a, 1).astype(np.float32) - 3.0
+    hot = rng.choice(a, 12, replace=False)
+    cls[hot] = 3.0
+    return {
+        "box_preds": jnp.asarray(rng.randn(a, 7).astype(np.float32) * 0.1),
+        "cls_preds": jnp.asarray(cls),
+        "dir_cls_preds": jnp.asarray(rng.randn(a, 2).astype(np.float32)),
+        "iou_preds": jnp.asarray(rng.uniform(-1, 1, (a, 1)).astype(np.float32)),
+    }, hot
+
+
+def test_predict_single_shapes_and_masking(rng):
+    import jax.numpy as jnp
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+    from sessd_tpu.models.predict import PredictConfig, predict_single
+
+    anchors = jnp.asarray(
+        create_anchors_3d_range([1, 8, 11], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
+        .reshape(-1, 7))
+    preds, hot = make_preds(rng, a=anchors.shape[0])
+    cfg = PredictConfig(nms_pre_max_size=64, nms_post_max_size=16)
+    out = predict_single(preds, anchors, None, cfg)
+    assert out["box3d_lidar"].shape == (16, 7)
+    v = np.asarray(out["valid"])
+    assert 0 < v.sum() <= 16
+    # invalid rows zeroed
+    assert np.all(np.asarray(out["box3d_lidar"])[~v] == 0)
+    # scores rectified: score = sigmoid(cls) * ((iou+1)/2)^4 <= sigmoid(cls)
+    assert np.asarray(out["scores"]).max() <= 1.0
+
+
+def test_predict_score_rectification_formula(rng):
+    import jax.numpy as jnp
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+    from sessd_tpu.models.predict import PredictConfig, predict_single
+
+    anchors = jnp.asarray(
+        create_anchors_3d_range([1, 4, 4], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
+        .reshape(-1, 7))
+    a = anchors.shape[0]
+    cls = np.full((a, 1), -10.0, np.float32)
+    cls[5] = 2.0
+    iou = np.zeros((a, 1), np.float32)
+    iou[5] = 0.5  # -> ((0.5+1)/2)^4 = 0.75^4
+    preds = {
+        "box_preds": jnp.zeros((a, 7), jnp.float32),
+        "cls_preds": jnp.asarray(cls),
+        "dir_cls_preds": jnp.zeros((a, 2), jnp.float32),
+        "iou_preds": jnp.asarray(iou),
+    }
+    out = predict_single(preds, anchors, None,
+                         PredictConfig(nms_pre_max_size=16, nms_post_max_size=4))
+    want = 1 / (1 + np.exp(-2.0)) * 0.75 ** 4
+    got = float(np.asarray(out["scores"])[0])
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_predict_dir_flip(rng):
+    import jax.numpy as jnp
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+    from sessd_tpu.models.predict import PredictConfig, predict_single
+
+    anchors = jnp.asarray(
+        create_anchors_3d_range([1, 4, 4], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
+        .reshape(-1, 7))
+    a = anchors.shape[0]
+    cls = np.full((a, 1), -10.0, np.float32)
+    cls[0] = 3.0  # anchor 0 has rotation 0 -> decoded ry > 0 with small offset
+    box = np.zeros((a, 7), np.float32)
+    box[0, 6] = 0.3  # ry offset -> decoded ry = 0.3 > 0
+    dirp = np.zeros((a, 2), np.float32)
+    dirp[0] = [5.0, 0.0]  # dir label 0, but ry > 0 -> opp -> flip by pi
+    preds = {
+        "box_preds": jnp.asarray(box),
+        "cls_preds": jnp.asarray(cls),
+        "dir_cls_preds": jnp.asarray(dirp),
+        "iou_preds": jnp.ones((a, 1), jnp.float32),
+    }
+    out = predict_single(preds, anchors, None,
+                         PredictConfig(nms_pre_max_size=16, nms_post_max_size=4))
+    ry = float(np.asarray(out["box3d_lidar"])[0, 6])
+    np.testing.assert_allclose(ry, 0.3 + np.pi, atol=1e-5)
+
+
+def test_rotate_weighted_nms_runs(rng):
+    import jax.numpy as jnp
+    from sessd_tpu.core.nms import rotate_weighted_nms
+
+    n = 32
+    boxes7 = np.concatenate(
+        [rng.uniform(-20, 20, (n, 2)), rng.uniform(-1, 0, (n, 1)),
+         rng.uniform(1.5, 1.8, (n, 2)), rng.uniform(1.4, 1.6, (n, 1)),
+         rng.uniform(-np.pi, np.pi, (n, 1))], 1).astype(np.float32)
+    boxes5 = boxes7[:, [0, 1, 3, 4, 6]]
+    scores = rng.rand(n).astype(np.float32)
+    out = rotate_weighted_nms(
+        jnp.asarray(boxes7), jnp.asarray(boxes5),
+        jnp.asarray(rng.randint(0, 2, n)), jnp.asarray(np.zeros(n, np.int64)),
+        jnp.asarray(scores), jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32)),
+        jnp.asarray(boxes7), pre_max_size=n, post_max_size=8,
+        iou_threshold=0.1, row_chunk=None)
+    merged, dirs, labels, out_scores, valid = map(np.asarray, out)
+    assert merged.shape == (8, 7)
+    assert valid.any()
+    assert np.isfinite(merged[valid]).all()
