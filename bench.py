@@ -44,7 +44,9 @@ def main():
 
     spec = KITTI_VOXELIZER
     sparse_shape = spec.sparse_shape  # (41, 1600, 1408)
-    model = VoxelNet(sparse_shape=sparse_shape)
+    # serving config: bf16 compute, hybrid sparse/masked-dense backbone
+    model = VoxelNet(sparse_shape=sparse_shape, dtype=jnp.bfloat16,
+                     dense_from_stage=2)
     anchors = jnp.asarray(
         create_anchors_3d_range([1, 200, 176], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
         .reshape(-1, 7))

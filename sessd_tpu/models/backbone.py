@@ -8,15 +8,22 @@ Stage plan (channels / resolution, input sparse shape (41, 1600, 1408)):
     spconv k(3,1,1) s(2,1,1) (64->64)             @ ( 2,  200,  176)
     -> dense [B, 2, 200, 176, 64] -> BEV [B, 200, 176, 128]
 
-Each resolution builds ONE rulebook shared by its submanifold convs (the
-functional analogue of spconv's indice_key reuse). All capacities are static
-per-stage multiples of the per-sample budget; overflowing voxels (rare) are
-dropped lowest-id-last.
+HYBRID execution (TPU-first): high-resolution stages run on the sparse
+gather-GEMM engine (ops/sparse.py — rulebooks via device sorts), while from
+``dense_from_stage`` on the grid is small enough (1.5M sites at stage 2)
+that *masked dense* `lax.conv` on the MXU beats sparse gathers by an order
+of magnitude. Masking preserves exact sparse semantics:
+  - submanifold conv  == dense conv * input-occupancy mask,
+  - strided sparse conv == dense strided conv * covered-output mask.
+Parameters are laid out identically ([K, cin, cout]) in both paths, so
+``dense_from_stage`` is a pure execution-plan choice — checkpoints and the
+torch converter are unaffected.
 """
 from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -26,13 +33,12 @@ from .layers import MaskedBatchNorm
 
 
 def _kaiming(k, cin):
-    # torch kaiming_uniform default for convs: U(-b, b), b = sqrt(6 / fan_in)
-    fan_in = k * cin
     return nn.initializers.variance_scaling(2.0, "fan_in", "uniform", in_axis=-2, out_axis=-1)
 
 
 class SparseConvBlock(nn.Module):
-    """One sparse conv (subm or strided) + masked BN + ReLU."""
+    """One sparse conv (subm or strided) + masked BN + ReLU, with an
+    alternative dense execution path sharing the same parameters."""
 
     features: int
     kernel_volume: int
@@ -40,25 +46,59 @@ class SparseConvBlock(nn.Module):
     use_relu: bool = True
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    # dense-path geometry (kernel shape needed to unflatten [K, cin, cout])
+    kernel_shape: Tuple[int, int, int] = (3, 3, 3)
+
+    def _norm(self, x, mask, train):
+        if self.use_norm:
+            return MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(
+                x, mask, train)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return x + b.astype(self.dtype)
+
+    def _kernel(self, cin):
+        return self.param(
+            "kernel", _kaiming(self.kernel_volume, cin),
+            (self.kernel_volume, cin, self.features), jnp.float32)
 
     @nn.compact
-    def __call__(self, feats, rulebook, out_mask, train: bool):
-        cin = feats.shape[-1]
-        w = self.param(
-            "kernel",
-            _kaiming(self.kernel_volume, cin),
-            (self.kernel_volume, cin, self.features),
-            jnp.float32,
-        )
-        x = sp.sparse_conv_apply(feats, rulebook, w.astype(self.dtype), out_mask)
-        if self.use_norm:
-            x = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(x, out_mask, train)
+    def __call__(self, x, rulebook=None, out_mask=None, train: bool = False,
+                 dense_inputs=None, strides=(1, 1, 1), padding=(1, 1, 1)):
+        """Sparse mode: (x [N, C], rulebook, out_mask). Dense mode:
+        dense_inputs=(x [B, D, H, W, C], occ_out [B, D', H', W', 1])."""
+        if dense_inputs is None:
+            cin = x.shape[-1]
+            w = self._kernel(cin).astype(self.dtype)
+            y = sp.sparse_conv_apply(x, rulebook, w, out_mask)
+            y = self._norm(y, out_mask, train)
         else:
-            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            x = x + b.astype(self.dtype)
+            xd, occ_out = dense_inputs
+            cin = xd.shape[-1]
+            w = self._kernel(cin).astype(self.dtype)
+            w5 = w.reshape(self.kernel_shape + (cin, self.features))
+            y = jax.lax.conv_general_dilated(
+                xd, w5, window_strides=strides,
+                padding=[(p, p) for p in padding],
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+            y = y * occ_out
+            b, d, h, wd, c = y.shape
+            flat_mask = occ_out.reshape(-1) > 0
+            y = self._norm(y.reshape(-1, c), flat_mask, train).reshape(b, d, h, wd, c)
         if self.use_relu:
-            x = nn.relu(x)
-        return x
+            y = nn.relu(y)
+        return y
+
+
+def _cover_mask(occ, kernel, strides, padding):
+    """Occupancy -> covered-output mask for a strided conv (sparse output
+    coordinate semantics: a site exists iff its window sees >= 1 voxel)."""
+    k = jnp.ones(kernel + (1, 1), occ.dtype)
+    c = jax.lax.conv_general_dilated(
+        occ, k, window_strides=strides, padding=[(p, p) for p in padding],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return (c > 0).astype(occ.dtype)
 
 
 class SpMiddleFHD(nn.Module):
@@ -68,22 +108,16 @@ class SpMiddleFHD(nn.Module):
     use_norm: bool = True
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
-    # per-sample voxel capacity at each resolution; the dilation of strided
-    # sparse convs grows the active set before it shrinks
-    stage_capacity: Tuple[int, ...] = (20000, 26000, 26000, 18000, 12000)
+    # per-sample voxel capacity at each sparse resolution
+    stage_capacity: Tuple[int, ...] = (20000, 22000, 18000, 12000, 8000)
+    # resolution index (0..4) from which to execute densely on the MXU;
+    # stage 2 = (11, 400, 352), small enough for masked dense conv
+    dense_from_stage: int = 2
 
     @nn.compact
     def __call__(self, voxel_features, coords_bzyx, valid, batch_size: int,
                  sparse_shape, train: bool = False):
-        """
-        Args:
-            voxel_features: [B*V, C] padded voxel features.
-            coords_bzyx: [B*V, 4] int (batch, z, y, x).
-            valid: [B*V] bool.
-            sparse_shape: (D, H, W) static, e.g. (41, 1600, 1408).
-        """
         d, h, w = sparse_shape
-        # the stage chain needs D: d -> .. -> 2 (41 -> 21 -> 11 -> 5 -> 2)
         d3 = ((d - 1) // 2 + 1 - 1) // 2 + 1
         d4 = (d3 - 3) // 2 + 1
         assert (d4 - 3) // 2 + 1 >= 1, (
@@ -91,54 +125,69 @@ class SpMiddleFHD(nn.Module):
             f"SpMiddleFHD geometry needs a 40+1-deep z grid (scn.py:106-149)")
         shape = (batch_size, d, h, w)
         caps = [c * batch_size for c in self.stage_capacity]
+        dfs = min(max(self.dense_from_stage, 1), 5)
+
+        # stage plan: (channels, n_subm, down_kernel, down_stride, down_pad)
+        plan = [
+            (16, 2, None, None, None),                     # stage 0
+            (32, 2, (3, 3, 3), (2, 2, 2), (1, 1, 1)),      # stage 1
+            (64, 3, (3, 3, 3), (2, 2, 2), (1, 1, 1)),      # stage 2
+            (64, 3, (3, 3, 3), (2, 2, 2), (0, 1, 1)),      # stage 3
+            (64, 0, (3, 1, 1), (2, 1, 1), (0, 0, 0)),      # stage 4
+        ]
+
+        blk = [0]  # running block index for stable parameter names
+
+        def block(feats, kvol, kshape=(3, 3, 3)):
+            m = SparseConvBlock(
+                feats, kvol, self.use_norm, axis_name=self.axis_name,
+                dtype=self.dtype, kernel_shape=kshape,
+                name=f"SparseConvBlock_{blk[0]}")
+            blk[0] += 1
+            return m
 
         grid, perm = sp.grid_from_coords(coords_bzyx, valid, shape, capacity=caps[0])
         x = voxel_features[perm]
         x = jnp.where(grid.mask[:, None], x, 0.0)
 
-        def subm(x, grid, rb, feats):
-            return SparseConvBlock(feats, rb.shape[1], self.use_norm,
-                                   axis_name=self.axis_name, dtype=self.dtype)(
-                x, rb, grid.mask, train)
+        dense_x = None
+        occ = None
+        for stage, (feats, n_subm, dk, ds, dp) in enumerate(plan):
+            if stage > 0:
+                # strided transition into this stage; the transition INTO
+                # stage dfs still runs sparse (densifying at the previous,
+                # larger resolution would cost a multi-GB tensor)
+                if stage <= dfs:
+                    grid_new, rbd = sp.downsample_rulebook(grid, dk, ds, dp,
+                                                           caps[stage])
+                    x = block(feats, int(np.prod(dk)), dk)(
+                        x, rbd, grid_new.mask, train)
+                    grid = grid_new
+                else:
+                    occ_new = _cover_mask(occ, dk, ds, dp)
+                    dense_x = block(feats, int(np.prod(dk)), dk)(
+                        None, train=train, dense_inputs=(dense_x, occ_new),
+                        strides=ds, padding=dp)
+                    occ = occ_new
+            if stage >= dfs and dense_x is None:
+                dense_x = sp.to_dense(x, grid)
+                occ = (sp.to_dense(jnp.ones_like(x[:, :1]), grid) > 0).astype(
+                    self.dtype)
+            # submanifold convs at this resolution
+            if n_subm > 0:
+                if stage < dfs:
+                    rb = sp.subm_rulebook(grid)
+                    for _ in range(n_subm):
+                        x = block(feats, 27)(x, rb, grid.mask, train)
+                else:
+                    for _ in range(n_subm):
+                        dense_x = block(feats, 27)(
+                            None, train=train, dense_inputs=(dense_x, occ),
+                            strides=(1, 1, 1), padding=(1, 1, 1))
 
-        # --- stage 0 @ (41, 1600, 1408), 16ch
-        rb = sp.subm_rulebook(grid)
-        x = subm(x, grid, rb, 16)
-        x = subm(x, grid, rb, 16)
-
-        # --- downsample to (21, 800, 704), 32ch
-        grid1, rbd = sp.downsample_rulebook(grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[1])
-        x = SparseConvBlock(32, 27, self.use_norm, axis_name=self.axis_name,
-                            dtype=self.dtype)(x, rbd, grid1.mask, train)
-        rb = sp.subm_rulebook(grid1)
-        x = subm(x, grid1, rb, 32)
-        x = subm(x, grid1, rb, 32)
-
-        # --- downsample to (11, 400, 352), 64ch
-        grid2, rbd = sp.downsample_rulebook(grid1, (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[2])
-        x = SparseConvBlock(64, 27, self.use_norm, axis_name=self.axis_name,
-                            dtype=self.dtype)(x, rbd, grid2.mask, train)
-        rb = sp.subm_rulebook(grid2)
-        x = subm(x, grid2, rb, 64)
-        x = subm(x, grid2, rb, 64)
-        x = subm(x, grid2, rb, 64)
-
-        # --- downsample to (5, 200, 176) with padding (0, 1, 1) (scn.py:134)
-        grid3, rbd = sp.downsample_rulebook(grid2, (3, 3, 3), (2, 2, 2), (0, 1, 1), caps[3])
-        x = SparseConvBlock(64, 27, self.use_norm, axis_name=self.axis_name,
-                            dtype=self.dtype)(x, rbd, grid3.mask, train)
-        rb = sp.subm_rulebook(grid3)
-        x = subm(x, grid3, rb, 64)
-        x = subm(x, grid3, rb, 64)
-        x = subm(x, grid3, rb, 64)
-
-        # --- final z-collapse: kernel (3,1,1) stride (2,1,1) (scn.py:149)
-        grid4, rbd = sp.downsample_rulebook(grid3, (3, 1, 1), (2, 1, 1), (0, 0, 0), caps[4])
-        x = SparseConvBlock(64, 3, self.use_norm, axis_name=self.axis_name,
-                            dtype=self.dtype)(x, rbd, grid4.mask, train)
-
-        dense = sp.to_dense(x, grid4)  # [B, 2, H', W', 64]
-        b, dd, hh, ww, c = dense.shape
+        if dense_x is None:
+            dense_x = sp.to_dense(x, grid)
+        b, dd, hh, ww, c = dense_x.shape
         # channel order c*D + d matches the reference's [N, C, D, H, W] ->
         # [N, C*D, H, W] view (scn.py:186-188), so torch checkpoints map 1:1
-        return jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, hh, ww, c * dd)
+        return jnp.transpose(dense_x, (0, 2, 3, 4, 1)).reshape(b, hh, ww, c * dd)

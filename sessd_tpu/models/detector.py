@@ -26,7 +26,8 @@ class VoxelNet(nn.Module):
     use_norm: bool = True
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
-    stage_capacity: Tuple[int, ...] = (20000, 26000, 26000, 18000, 12000)
+    stage_capacity: Tuple[int, ...] = (20000, 22000, 18000, 12000, 8000)
+    dense_from_stage: int = 2
 
     @nn.compact
     def __call__(self, voxels, coords_bzyx, num_points, valid, batch_size: int,
@@ -44,6 +45,7 @@ class VoxelNet(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             stage_capacity=self.stage_capacity,
+            dense_from_stage=self.dense_from_stage,
             name="backbone",
         )(feats, coords_bzyx, valid, batch_size, self.sparse_shape, train)
         bev = SSFA(axis_name=self.axis_name, dtype=self.dtype, name="neck")(bev, train)

@@ -115,7 +115,9 @@ def subm_rulebook(grid: SparseGrid, kernel=(3, 3, 3)) -> jnp.ndarray:
     )
     nid = ((bb[:, None] * d + nz) * h + ny) * w + nx
     nid = jnp.where(inb, nid, SENTINEL)
-    pos = jnp.searchsorted(grid.ids, nid)
+    # method='sort' (one co-sort) is ~5x faster than the default binary-scan
+    # lowering on TPU for this query volume
+    pos = jnp.searchsorted(grid.ids, nid.reshape(-1), method="sort").reshape(nid.shape)
     pos = jnp.clip(pos, 0, grid.capacity - 1)
     hit = (grid.ids[pos] == nid) & inb
     return jnp.where(hit, pos, grid.capacity)
@@ -207,7 +209,9 @@ def downsample_rulebook(
     )
     iid = ((obb[:, None] * d + iz) * h + iy) * w + ix
     iid = jnp.where(inb, iid, SENTINEL)
-    ppos = jnp.clip(jnp.searchsorted(grid.ids, iid), 0, grid.capacity - 1)
+    ppos = jnp.clip(
+        jnp.searchsorted(grid.ids, iid.reshape(-1), method="sort").reshape(iid.shape),
+        0, grid.capacity - 1)
     hit = (grid.ids[ppos] == iid) & inb
     rulebook = jnp.where(hit, ppos, grid.capacity)
     return out_grid, rulebook
