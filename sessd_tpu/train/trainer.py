@@ -117,6 +117,10 @@ class Trainer:
                           total_iters=total_epochs * iters_per_epoch,
                           json_path=f"{self.work_dir}/log.json")
         buf = LogBuffer()
+        from ..utils.logging import TensorBoardLogger, device_memory_stats
+
+        tb = (TensorBoardLogger(f"{self.work_dir}/tb")
+              if cfg.log_config.get("tensorboard", False) else None)
         from .optim import one_cycle_lr
 
         lr_fn = one_cycle_lr(self.opt_cfg)
@@ -139,9 +143,15 @@ class Trainer:
                 step_time = time.time() - t0
                 buf.update({k: v for k, v in metrics.items()
                             if np.ndim(v) == 0})
-                text.step(self.epoch + 1, it, iters_per_epoch, buf.average(10),
+                avg = buf.average(10)
+                mem = device_memory_stats()
+                if mem.get("peak_bytes_in_use"):
+                    avg["peak_hbm_gb"] = mem["peak_bytes_in_use"] / 2 ** 30
+                text.step(self.epoch + 1, it, iters_per_epoch, avg,
                           lr=float(lr_fn(int(self.state.step))),
                           data_time=data_time, step_time=step_time)
+                if tb is not None:
+                    tb.log(avg, int(self.state.step))
                 t_data = time.time()
             self.epoch += 1
             if self.epoch % self.cfg.checkpoint_config.get("interval", 1) == 0:
@@ -157,7 +167,6 @@ class Trainer:
         model = builder.build_detector(self.cfg, axis_name=None)
         predict_cfg = self.predict_cfg
         anchors = self.anchors
-        batch_size = self.cfg.data["samples_per_gpu"]
 
         def eval_fn(params, batch_stats, voxels, coords, num_points, mask,
                     frustum):
@@ -170,6 +179,19 @@ class Trainer:
                 num_points.reshape(-1), mask.reshape(-1), b, train=False)
             return predict_batch(preds[0], anchors, frustum, predict_cfg)
 
+        if self.mesh is not None:
+            # per-shard inference; fixed-shape detection buffers come back
+            # sharded along batch — the lax.all_gather equivalent of the
+            # reference's pickled eval gather (SURVEY §2.3)
+            from jax.sharding import PartitionSpec as P
+
+            return jax.jit(jax.shard_map(
+                eval_fn, mesh=self.mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            ))
         return jax.jit(eval_fn)
 
     def validate(self, use_ema: bool = False, max_batches: Optional[int] = None):
@@ -182,10 +204,20 @@ class Trainer:
         params = jax.device_get(params)
         stats = jax.device_get(stats)
 
+        full_b = self.cfg.data["samples_per_gpu"]
         detections = []
         for bi, batch in enumerate(self.val_loader):
             if max_batches is not None and bi >= max_batches:
                 break
+            nb = batch["voxels"].shape[0]
+            if nb < full_b:  # pad the trailing batch to the static shape
+                pad = full_b - nb
+                batch = dict(batch, **{
+                    k: np.concatenate(
+                        [batch[k], np.zeros((pad,) + batch[k].shape[1:],
+                                            batch[k].dtype)])
+                    for k in ("voxels", "coords", "num_points", "voxel_mask",
+                              "frustum")})
             dets = self._eval_fn(
                 params, stats,
                 jnp.asarray(batch["voxels"]), jnp.asarray(batch["coords"]),

@@ -58,6 +58,47 @@ class LogBuffer:
         self.output.clear()
 
 
+class TensorBoardLogger:
+    """Optional TensorBoard scalars (the TensorboardLoggerHook equivalent,
+    hooks/logger/tensorboard.py). No-op if tensorboard isn't importable."""
+
+    def __init__(self, log_dir):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._writer = SummaryWriter(str(log_dir))
+        except Exception:
+            self._writer = None
+
+    def log(self, metrics: dict, step: int):
+        if self._writer is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self._writer.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
+def device_memory_stats() -> dict:
+    """Peak/allocated HBM of device 0 (the max-memory stat the reference
+    reduces across ranks, hooks/logger/text.py:22-27)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return {}
+    return {
+        "bytes_in_use": stats.get("bytes_in_use", 0),
+        "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
+    }
+
+
 class TextLogger:
     def __init__(self, logger, interval: int = 10, total_iters: int = 0,
                  json_path=None):
