@@ -69,6 +69,9 @@ class SparseConvBlock(nn.Module):
         if dense_inputs is None:
             cin = x.shape[-1]
             w = self._kernel(cin).astype(self.dtype)
+            # plain implicit-GEMM gather; measured fastest on v5e for the
+            # KITTI voxel counts (the windowed one-hot variant in ops/sparse
+            # only wins when block spans stay tiny AND hit rates are high)
             y = sp.sparse_conv_apply(x, rulebook, w, out_mask)
             y = self._norm(y, out_mask, train)
         else:
@@ -76,6 +79,8 @@ class SparseConvBlock(nn.Module):
             cin = xd.shape[-1]
             w = self._kernel(cin).astype(self.dtype)
             w5 = w.reshape(self.kernel_shape + (cin, self.features))
+            # NOTE: measured on v5e, XLA's native conv3d beats the
+            # kd-slice conv2d decomposition here — keep conv3d
             y = jax.lax.conv_general_dilated(
                 xd, w5, window_strides=strides,
                 padding=[(p, p) for p in padding],
@@ -89,6 +94,33 @@ class SparseConvBlock(nn.Module):
         if self.use_relu:
             y = nn.relu(y)
         return y
+
+
+def _conv3d_as_2d(x, w5, strides, padding):
+    """3D conv decomposed into kd batched 2D convs (depth folded into batch).
+
+    Exact same arithmetic as conv3d. Kept as an alternative execution plan:
+    on the v5e both lowerings measured within noise for the stage-2+ grids,
+    with native conv3d slightly ahead — SparseConvBlock uses conv3d.
+    """
+    b, d, h, w, cin = x.shape
+    kd, kh, kw, _, cout = w5.shape
+    sd, sh, sw = strides
+    pd, ph, pw = padding
+    od = (d + 2 * pd - kd) // sd + 1
+    xp = jnp.pad(x, ((0, 0), (pd, pd), (0, 0), (0, 0), (0, 0)))
+    out = None
+    for dz in range(kd):
+        sl = jax.lax.slice_in_dim(xp, dz, dz + (od - 1) * sd + 1, sd, axis=1)
+        y = jax.lax.conv_general_dilated(
+            sl.reshape(b * od, h, w, cin), w5[dz],
+            window_strides=(sh, sw), padding=[(ph, ph), (pw, pw)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        out = y if out is None else out + y
+    oh, ow = out.shape[1], out.shape[2]
+    return out.reshape(b, od, oh, ow, cout)
 
 
 def _cover_mask(occ, kernel, strides, padding):

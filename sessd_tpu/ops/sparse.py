@@ -5,7 +5,7 @@ spconv CUDA library (SubMConv3d / SparseConv3d with indice-key rulebook
 caching). This module re-designs that for XLA:
 
 - A sparse tensor is (features [N, C], ids [N]) where ids are linearized
-  ``((b*D + z)*H + y)*W + x`` voxel coordinates, **sorted ascending**, with
+  ``((b*H + y)*W + x)*D + z`` (z-minor) voxel coordinates, **sorted ascending**, with
   ``SENTINEL`` (int32 max) marking padding rows. All shapes are static.
 - Rulebooks are built **on device** with vectorized ``searchsorted`` over the
   sorted ids — no dense occupancy grid, no host round-trip, no CUDA hash
@@ -53,19 +53,27 @@ class SparseGrid(NamedTuple):
 
 
 def linearize(coords_bzyx: jnp.ndarray, shape) -> jnp.ndarray:
-    """[N, 4] (b, z, y, x) int coords -> linear ids."""
+    """[N, 4] (b, z, y, x) int coords -> linear ids.
+
+    Z-MINOR order (b, y, x, z): spatially neighboring voxels — including
+    depth neighbors — sit close together in the sorted id sequence, which
+    keeps the per-block source spans of rulebook columns small (the property
+    the windowed one-hot conv relies on). With z-major order a dz=+-1
+    neighbor lives a whole z-slice away (~half the list for ground-heavy
+    lidar scenes).
+    """
     b, d, h, w = shape
     c = coords_bzyx
-    return ((c[..., 0] * d + c[..., 1]) * h + c[..., 2]) * w + c[..., 3]
+    return ((c[..., 0] * h + c[..., 2]) * w + c[..., 3]) * d + c[..., 1]
 
 
 def delinearize(ids: jnp.ndarray, shape):
     """linear ids -> (b, z, y, x); garbage for SENTINEL rows (mask them)."""
     b, d, h, w = shape
-    x = ids % w
-    y = (ids // w) % h
-    z = (ids // (w * h)) % d
-    bb = ids // (w * h * d)
+    z = ids % d
+    x = (ids // d) % w
+    y = (ids // (d * w)) % h
+    bb = ids // (d * w * h)
     return bb, z, y, x
 
 
@@ -83,6 +91,11 @@ def grid_from_coords(coords_bzyx: jnp.ndarray, valid: jnp.ndarray, shape,
     ids = jnp.where(valid, linearize(coords_bzyx, shape), SENTINEL)
     order = jnp.argsort(ids, stable=True)
     ids_sorted = ids[order][:capacity]
+    if ids_sorted.shape[0] < capacity:  # pad up to the static capacity
+        pad = capacity - ids_sorted.shape[0]
+        ids_sorted = jnp.concatenate(
+            [ids_sorted, jnp.full((pad,), SENTINEL, dtype=ids_sorted.dtype)])
+        order = jnp.concatenate([order, jnp.zeros((pad,), order.dtype)])
     return SparseGrid(ids=ids_sorted, shape=shape), order[:capacity]
 
 
@@ -113,7 +126,7 @@ def subm_rulebook(grid: SparseGrid, kernel=(3, 3, 3)) -> jnp.ndarray:
         (nz >= 0) & (nz < d) & (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
         & grid.mask[:, None]
     )
-    nid = ((bb[:, None] * d + nz) * h + ny) * w + nx
+    nid = ((bb[:, None] * h + ny) * w + nx) * d + nz
     nid = jnp.where(inb, nid, SENTINEL)
     # method='sort' (one co-sort) is ~5x faster than the default binary-scan
     # lowering on TPU for this query volume
@@ -125,7 +138,7 @@ def subm_rulebook(grid: SparseGrid, kernel=(3, 3, 3)) -> jnp.ndarray:
 
 def sparse_conv_apply(features: jnp.ndarray, rulebook: jnp.ndarray,
                       weights: jnp.ndarray, out_mask: jnp.ndarray) -> jnp.ndarray:
-    """Implicit-GEMM sparse conv.
+    """Implicit-GEMM sparse conv (plain dynamic-gather formulation).
 
     features: [N_in, Cin]; rulebook: [N_out, K] rows into features
     (N_in == missing); weights: [K, Cin, Cout]. Returns [N_out, Cout].
@@ -141,6 +154,84 @@ def sparse_conv_apply(features: jnp.ndarray, rulebook: jnp.ndarray,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    return jnp.where(out_mask[:, None], out, 0.0).astype(features.dtype)
+
+
+def sparse_conv_apply_windowed(
+    features: jnp.ndarray, rulebook: jnp.ndarray, weights: jnp.ndarray,
+    out_mask: jnp.ndarray, *, block: int = 128, window: int = 1024,
+) -> jnp.ndarray:
+    """Sparse conv via windowed one-hot MXU matmuls instead of dynamic gathers.
+
+    XLA's dynamic gather costs ~7 ns/row on TPU (scalar core), making the
+    implicit-GEMM gather the forward bottleneck. This formulation exploits a
+    structural property of our rulebooks: with sorted voxel ids, each kernel
+    -offset column of the rulebook is MONOTONE over output rows — so the K
+    source rows feeding a block of `block` consecutive outputs live in a
+    small contiguous index window. Per (offset, block): dynamic-slice the
+    [window, Cin] span (a contiguous chunk copy, fast) and multiply by a
+    one-hot [block, window] selector on the MXU.
+
+    Exactness: if any block's span exceeds `window` (possible only for
+    pathological voxel distributions), lax.cond falls back to the plain
+    gather path for the whole conv — results are always exact.
+    """
+    n_in, cin = features.shape
+    n_out, k = rulebook.shape
+    cout = weights.shape[-1]
+    if n_in + 1 <= window:
+        return sparse_conv_apply(features, rulebook, weights, out_mask)
+    n_pad = (n_out + block - 1) // block * block
+    rb = jnp.pad(rulebook, ((0, n_pad - n_out), (0, 0)),
+                 constant_values=n_in)  # pad rows = miss
+    nblocks = n_pad // block
+
+    padded = jnp.concatenate([features, jnp.zeros((1, cin), features.dtype)], axis=0)
+
+    idx = rb.T.reshape(k, nblocks, block)  # [K, nb, B]
+    valid = idx < n_in
+    big = jnp.int32(n_in + window)
+    lo = jnp.min(jnp.where(valid, idx, big), axis=-1)  # [K, nb]
+    hi = jnp.max(jnp.where(valid, idx, -1), axis=-1)
+    has = jnp.any(valid, axis=-1)
+    lo = jnp.where(has, lo, 0)
+    span_ok = jnp.all(jnp.where(has, hi - lo < window, True))
+    lo = jnp.clip(lo, 0, n_in + 1 - window)
+
+    iota_w = jnp.arange(window)
+
+    def fast(_):
+        # one batched matmul over all (offset, block) pairs — no scan
+        win = jax.vmap(jax.vmap(
+            lambda l: jax.lax.dynamic_slice(padded, (l, 0), (window, cin))
+        ))(lo)  # [K, nb, W, Cin]
+        rel = idx - lo[..., None]  # [K, nb, B]
+        onehot = ((rel[..., None] == iota_w) & valid[..., None]).astype(
+            features.dtype)  # [K, nb, B, W]
+        gathered = jax.lax.dot_general(
+            onehot.reshape(k * nblocks, block, window),
+            win.reshape(k * nblocks, window, cin),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(features.dtype)  # [K*nb, B, Cin]
+        g = gathered.reshape(k, n_pad, cin).transpose(1, 0, 2).reshape(
+            n_pad, k * cin)
+        out = jax.lax.dot_general(
+            g, weights.reshape(k * cin, cout),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out[:n_out]
+
+    def slow(_):
+        gathered = padded[rulebook]
+        return jax.lax.dot_general(
+            gathered.reshape(-1, k * cin), weights.reshape(k * cin, cout),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    out = jax.lax.cond(span_ok, fast, slow, None)
     return jnp.where(out_mask[:, None], out, 0.0).astype(features.dtype)
 
 
@@ -185,7 +276,7 @@ def downsample_rulebook(
     oy, oky = axis_out(y[:, None], offs[None, :, 1], sh, ph, oh)
     ox, okx = axis_out(x[:, None], offs[None, :, 2], sw, pw, ow)
     ok = okz & oky & okx & grid.mask[:, None]  # [N, K]
-    cand = ((bb[:, None] * od + oz) * oh + oy) * ow + ox
+    cand = ((bb[:, None] * oh + oy) * ow + ox) * od + oz
     cand = jnp.where(ok, cand, SENTINEL).reshape(-1)  # [N*K]
 
     # unique + compact to fixed capacity (sorted order preserved)
@@ -207,7 +298,7 @@ def downsample_rulebook(
         (iz >= 0) & (iz < d) & (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
         & out_grid.mask[:, None]
     )
-    iid = ((obb[:, None] * d + iz) * h + iy) * w + ix
+    iid = ((obb[:, None] * h + iy) * w + ix) * d + iz
     iid = jnp.where(inb, iid, SENTINEL)
     ppos = jnp.clip(
         jnp.searchsorted(grid.ids, iid.reshape(-1), method="sort").reshape(iid.shape),
@@ -222,7 +313,10 @@ def to_dense(features: jnp.ndarray, grid: SparseGrid) -> jnp.ndarray:
     b, d, h, w = grid.shape
     c = features.shape[-1]
     total = b * d * h * w
-    flat_idx = jnp.where(grid.mask, grid.ids, total)
+    # grid ids are z-minor; the dense layout is [B, D, H, W] (z-major)
+    bb, z, y, x = delinearize(grid.ids, grid.shape)
+    std = ((bb * d + z) * h + y) * w + x
+    flat_idx = jnp.where(grid.mask, std, total)
     dense = jnp.zeros((total + 1, c), dtype=features.dtype)
     dense = dense.at[flat_idx].set(jnp.where(grid.mask[:, None], features, 0.0))
     return dense[:total].reshape(b, d, h, w, c)
