@@ -21,7 +21,7 @@ import numpy as np
 from ..core import box_np
 from ..core.anchors import create_anchors_3d_range
 from ..core.target_assign import TargetAssigner, limit_period
-from ..ops.voxelize import KITTI_VOXELIZER, VoxelizerSpec, voxelize_np
+from ..ops.voxelize import KITTI_VOXELIZER, VoxelizerSpec, voxelize_host
 from . import augment, sa_da
 from .augment import GroundTruthSampler
 
@@ -201,7 +201,7 @@ class Pipeline:
 
     def _voxelize(self, suffix, points):
         spec = self.cfg.voxelizer
-        voxels, coords, num_points = voxelize_np(points, spec)
+        voxels, coords, num_points = voxelize_host(points, spec)
         v = spec.max_voxels
         f = points.shape[1]
         pv = np.zeros((v, spec.max_points, f), np.float32)

@@ -110,6 +110,18 @@ def voxelize_np(points: np.ndarray, spec: VoxelizerSpec):
     return voxels, coords, num_points
 
 
+def voxelize_host(points: np.ndarray, spec: VoxelizerSpec):
+    """Host voxelizer with automatic native-C++ dispatch (same semantics as
+    :func:`voxelize_np`; the C++ kernel lives in native/voxelize.cpp)."""
+    from ..utils.native import get_native
+
+    native = get_native()
+    if native is not None:
+        return native.voxelize(points, spec.point_cloud_range, spec.voxel_size,
+                               spec.max_points, spec.max_voxels)
+    return voxelize_np(points, spec)
+
+
 def voxelize_jax(points, spec: VoxelizerSpec, num_valid_points=None):
     """Device voxelizer — jit-safe, fixed capacity.
 

@@ -42,6 +42,18 @@ def _build() -> bool:
 class _Native:
     def __init__(self, lib: ctypes.CDLL):
         self._lib = lib
+        v = lib.voxelize
+        v.restype = ctypes.c_int64
+        v.argtypes = [
+            ctypes.POINTER(ctypes.c_float),   # points
+            ctypes.c_int64, ctypes.c_int64,   # num_points, num_features
+            ctypes.POINTER(ctypes.c_float),   # pc_range
+            ctypes.POINTER(ctypes.c_float),   # voxel_size
+            ctypes.c_int64, ctypes.c_int64,   # max_points, max_voxels
+            ctypes.POINTER(ctypes.c_float),   # out_voxels
+            ctypes.POINTER(ctypes.c_int32),   # out_coords
+            ctypes.POINTER(ctypes.c_int32),   # out_num_points
+        ]
         f = lib.compute_statistics
         f.restype = None
         f.argtypes = [
@@ -64,6 +76,29 @@ class _Native:
             ctypes.POINTER(ctypes.c_double),  # out thresholds
             ctypes.POINTER(ctypes.c_int64),   # out n_thresh
         ]
+
+    def voxelize(self, points, pc_range, voxel_size, max_points, max_voxels):
+        """FCFS voxelization; returns (voxels, coords zyx, num_points),
+        trimmed to the actual voxel count like voxelize_np."""
+        points = np.ascontiguousarray(points, dtype=np.float32)
+        p, f = points.shape
+        pc_range = np.asarray(pc_range, dtype=np.float32)
+        voxel_size = np.asarray(voxel_size, dtype=np.float32)
+        out_voxels = np.zeros((max_voxels, max_points, f), dtype=np.float32)
+        out_coords = np.zeros((max_voxels, 3), dtype=np.int32)
+        out_np = np.zeros((max_voxels,), dtype=np.int32)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        nv = self._lib.voxelize(
+            ptr(points, ctypes.c_float), p, f,
+            ptr(pc_range, ctypes.c_float), ptr(voxel_size, ctypes.c_float),
+            max_points, max_voxels,
+            ptr(out_voxels, ctypes.c_float), ptr(out_coords, ctypes.c_int32),
+            ptr(out_np, ctypes.c_int32),
+        )
+        return out_voxels[:nv], out_coords[:nv], out_np[:nv]
 
     def compute_statistics(self, overlaps, gt_datas, dt_datas, ignored_gt,
                            ignored_det, dc_bboxes, metric, min_overlap,

@@ -104,3 +104,25 @@ def test_device_point_padding(rng):
     voxels, coords, num_points, nv = voxelize_jax(jnp.asarray(pts), spec, num_valid_points=1)
     assert int(nv) == 1
     np.testing.assert_array_equal(np.asarray(coords)[0], [0, 0, 0])
+
+
+def test_native_voxelizer_matches_numpy(rng):
+    from sessd_tpu.utils.native import get_native
+    from sessd_tpu.ops.voxelize import voxelize_host
+
+    native = get_native()
+    assert native is not None, "native build failed"
+    spec = VoxelizerSpec((0, -10, -2, 20, 10, 2), (0.25, 0.25, 0.5),
+                         max_points=4, max_voxels=512)
+    pts = np.stack(
+        [rng.uniform(-1, 21, 3000), rng.uniform(-11, 11, 3000),
+         rng.uniform(-2.5, 2.5, 3000), rng.uniform(0, 1, 3000)], axis=1
+    ).astype(np.float32)
+    hv, hc, hn = voxelize_np(pts, spec)
+    nv, nc, nn = native.voxelize(pts, spec.point_cloud_range, spec.voxel_size,
+                                 spec.max_points, spec.max_voxels)
+    np.testing.assert_array_equal(nc, hc)
+    np.testing.assert_array_equal(nn, hn)
+    np.testing.assert_allclose(nv, hv, atol=0)
+    fv, fc, fn = voxelize_host(pts, spec)
+    np.testing.assert_array_equal(fc, hc)
