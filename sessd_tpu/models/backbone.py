@@ -61,11 +61,15 @@ class SparseConvBlock(nn.Module):
             "kernel", _kaiming(self.kernel_volume, cin),
             (self.kernel_volume, cin, self.features), jnp.float32)
 
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+
     @nn.compact
     def __call__(self, x, rulebook=None, out_mask=None, train: bool = False,
-                 dense_inputs=None, strides=(1, 1, 1), padding=(1, 1, 1)):
+                 dense_inputs=None):
         """Sparse mode: (x [N, C], rulebook, out_mask). Dense mode:
         dense_inputs=(x [B, D, H, W, C], occ_out [B, D', H', W', 1])."""
+        strides, padding = self.strides, self.padding
         if dense_inputs is None:
             cin = x.shape[-1]
             w = self._kernel(cin).astype(self.dtype)
@@ -145,6 +149,9 @@ class SpMiddleFHD(nn.Module):
     # resolution index (0..4) from which to execute densely on the MXU;
     # stage 2 = (11, 400, 352), small enough for masked dense conv
     dense_from_stage: int = 2
+    # rematerialize block activations in the backward pass — without it the
+    # dense-stage f32 activations of a batch-4 training step overflow 16G HBM
+    remat: bool = True
 
     @nn.compact
     def __call__(self, voxel_features, coords_bzyx, valid, batch_size: int,
@@ -170,10 +177,17 @@ class SpMiddleFHD(nn.Module):
 
         blk = [0]  # running block index for stable parameter names
 
-        def block(feats, kvol, kshape=(3, 3, 3)):
-            m = SparseConvBlock(
+        # remat: recompute block activations in backward (self is argnum 0,
+        # so `train` sits at static position 4)
+        block_cls = (nn.remat(SparseConvBlock, static_argnums=(4,))
+                     if self.remat else SparseConvBlock)
+
+        def block(feats, kvol, kshape=(3, 3, 3), strides=(1, 1, 1),
+                  padding=(1, 1, 1)):
+            m = block_cls(
                 feats, kvol, self.use_norm, axis_name=self.axis_name,
                 dtype=self.dtype, kernel_shape=kshape,
+                strides=strides, padding=padding,
                 name=f"SparseConvBlock_{blk[0]}")
             blk[0] += 1
             return m
@@ -197,9 +211,8 @@ class SpMiddleFHD(nn.Module):
                     grid = grid_new
                 else:
                     occ_new = _cover_mask(occ, dk, ds, dp)
-                    dense_x = block(feats, int(np.prod(dk)), dk)(
-                        None, train=train, dense_inputs=(dense_x, occ_new),
-                        strides=ds, padding=dp)
+                    dense_x = block(feats, int(np.prod(dk)), dk, ds, dp)(
+                        None, None, None, train, (dense_x, occ_new))
                     occ = occ_new
             if stage >= dfs and dense_x is None:
                 dense_x = sp.to_dense(x, grid)
@@ -214,8 +227,7 @@ class SpMiddleFHD(nn.Module):
                 else:
                     for _ in range(n_subm):
                         dense_x = block(feats, 27)(
-                            None, train=train, dense_inputs=(dense_x, occ),
-                            strides=(1, 1, 1), padding=(1, 1, 1))
+                            None, None, None, train, (dense_x, occ))
 
         if dense_x is None:
             dense_x = sp.to_dense(x, grid)
