@@ -32,6 +32,9 @@ class PredictConfig(NamedTuple):
     post_center_range: tuple = (0.0, -40.0, -5.0, 70.4, 40.0, 5.0)
     use_dir_classifier: bool = True
     direction_offset: float = 0.0
+    # "rotate_nms" (default) or "rotate_weighted_nms" (the CIA-SSD DI-NMS
+    # decode mode kept in SE-SSD, mg_head_sessd.py:999-1022)
+    nms_type: str = "rotate_nms"
 
 
 def points_in_frustum(points: jnp.ndarray, surfaces: jnp.ndarray) -> jnp.ndarray:
@@ -66,22 +69,39 @@ def predict_single(preds, anchors, frustum_surfaces, cfg: PredictConfig):
     nms_scores = jnp.where(keep, scores, -jnp.inf)
 
     boxes5 = boxes[:, jnp.array([0, 1, 3, 4, 6])]
-    sel, valid = rotate_nms(
-        boxes5, nms_scores,
-        pre_max_size=cfg.nms_pre_max_size,
-        post_max_size=cfg.nms_post_max_size,
-        iou_threshold=cfg.nms_iou_threshold,
-    )
+    if cfg.nms_type == "rotate_weighted_nms":
+        from ..core.nms import rotate_weighted_nms
 
-    out_boxes = boxes[sel]
-    out_scores = scores[sel]
-    out_valid = valid
+        dir_labels_all = jnp.argmax(preds["dir_cls_preds"], axis=-1)
+        merged, dirs, labels, w_scores, valid = rotate_weighted_nms(
+            boxes, boxes5, dir_labels_all,
+            jnp.zeros((boxes.shape[0],), jnp.int32), nms_scores,
+            preds["iou_preds"][..., 0], anchors,
+            pre_max_size=cfg.nms_pre_max_size,
+            post_max_size=cfg.nms_post_max_size,
+            iou_threshold=cfg.nms_iou_threshold,
+        )
+        out_boxes, out_scores, out_valid = merged, w_scores, valid
+        sel = jnp.zeros((cfg.nms_post_max_size,), jnp.int32)
+        dir_sel = dirs
+    else:
+        sel, valid = rotate_nms(
+            boxes5, nms_scores,
+            pre_max_size=cfg.nms_pre_max_size,
+            post_max_size=cfg.nms_post_max_size,
+            iou_threshold=cfg.nms_iou_threshold,
+        )
+        out_boxes = boxes[sel]
+        out_scores = scores[sel]
+        out_valid = valid
+        dir_sel = None
 
     if frustum_surfaces is not None:
         out_valid = out_valid & points_in_frustum(out_boxes[:, :3], frustum_surfaces)
 
     if cfg.use_dir_classifier:
-        dir_labels = jnp.argmax(preds["dir_cls_preds"], axis=-1)[sel]
+        dir_labels = (dir_sel if dir_sel is not None
+                      else jnp.argmax(preds["dir_cls_preds"], axis=-1)[sel])
         opp = ((out_boxes[:, 6] - cfg.direction_offset) > 0) ^ (dir_labels == 1)
         out_boxes = out_boxes.at[:, 6].add(jnp.where(opp, jnp.pi, 0.0))
 

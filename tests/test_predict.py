@@ -92,6 +92,24 @@ def test_predict_dir_flip(rng):
     np.testing.assert_allclose(ry, 0.3 + np.pi, atol=1e-5)
 
 
+def test_predict_dinms_mode(rng):
+    import jax.numpy as jnp
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+    from sessd_tpu.models.predict import PredictConfig, predict_single
+
+    anchors = jnp.asarray(
+        create_anchors_3d_range([1, 8, 11], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
+        .reshape(-1, 7))
+    preds, hot = make_preds(rng, a=anchors.shape[0])
+    cfg = PredictConfig(nms_pre_max_size=64, nms_post_max_size=16,
+                        nms_type="rotate_weighted_nms")
+    out = predict_single(preds, anchors, None, cfg)
+    assert out["box3d_lidar"].shape == (16, 7)
+    v = np.asarray(out["valid"])
+    assert v.any()
+    assert np.isfinite(np.asarray(out["box3d_lidar"])[v]).all()
+
+
 def test_rotate_weighted_nms_runs(rng):
     import jax.numpy as jnp
     from sessd_tpu.core.nms import rotate_weighted_nms
