@@ -189,4 +189,5 @@ def build_predict_config(cfg) -> PredictConfig:
         post_center_range=tuple(tc["post_center_limit_range"]),
         use_dir_classifier=cfg.model["bbox_head"].get("loss_aux") is not None,
         direction_offset=cfg.model["bbox_head"].get("direction_offset", 0.0),
+        nms_type=tc["nms"].get("nms_type", "rotate_nms"),
     )
