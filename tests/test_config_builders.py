@@ -1,0 +1,55 @@
+"""The shipped configs parse and every builder constructs from them."""
+import numpy as np
+import pytest
+
+from sessd_tpu import builder
+from sessd_tpu.config import Config
+
+CONFIGS = [
+    "sessd_tpu/configs/se_ssd_kitti_car.py",
+    "sessd_tpu/configs/cia_ssd_kitti_car.py",
+    "sessd_tpu/configs/point_pillars_kitti_car.py",
+]
+
+
+@pytest.mark.parametrize("path", CONFIGS)
+def test_config_parses_and_builds(path):
+    cfg = Config.fromfile(path)
+    assert cfg.model["type"] in ("VoxelNet", "PointPillars")
+    assert "nms" in cfg.test_cfg
+
+    model = builder.build_detector(cfg)
+    assert model is not None
+
+    vox = builder.build_voxelizer(cfg.voxel_generator)
+    assert vox.max_voxels > 0
+
+    pcfg = builder.build_pipeline_config(cfg)
+    assert pcfg.feature_map_size[1] > 0
+
+    lcfg = builder.build_loss_config(cfg)
+    assert lcfg.loc_loss_weight == 2.0
+
+    predcfg = builder.build_predict_config(cfg)
+    assert predcfg.nms_post_max_size == cfg.test_cfg["nms"]["nms_post_max_size"]
+
+    opt, ocfg = builder.build_optimizer_from_cfg(cfg, steps_per_epoch=10)
+    assert ocfg.lr_max == cfg.lr_config["lr_max"]
+    assert ocfg.total_steps == cfg.total_epochs * 10
+
+
+def test_se_ssd_config_matches_reference_surface():
+    cfg = Config.fromfile(CONFIGS[0])
+    # the reference's headline hyperparameters (examples/second/configs)
+    assert cfg.voxel_generator["voxel_size"] == [0.05, 0.05, 0.1]
+    assert cfg.voxel_generator["max_voxel_num"] == 20000
+    ag = cfg.target_assigner["anchor_generators"][0]
+    assert ag["sizes"] == [1.6, 3.9, 1.56]
+    assert ag["matched_threshold"] == 0.6
+    assert cfg.test_cfg["score_threshold"] == 0.3
+    assert cfg.lr_config["lr_max"] == 0.003
+    assert cfg.total_epochs == 60
+    assert cfg.my_paras["enable_ssl"] is True
+
+    cia = Config.fromfile(CONFIGS[1])
+    assert cia.my_paras["enable_ssl"] is False
