@@ -106,12 +106,38 @@ def _kernel_offsets(kernel: Sequence[int]) -> np.ndarray:
     return np.stack([zz.ravel(), yy.ravel(), xx.ravel()], axis=1).astype(np.int32)
 
 
+# dense occupancy-LUT lookups beat searchsorted when the LUT fits a memory
+# budget: memset+scatter+gather vs a 500k-element co-sort + verify gather
+LUT_BUDGET_BYTES = 2 * 1024 ** 3
+
+
+def _lookup(grid: SparseGrid, nid: jnp.ndarray, inb: jnp.ndarray) -> jnp.ndarray:
+    """Map neighbor ids [N, K] -> input rows (grid.capacity = miss)."""
+    total = int(np.prod(grid.shape))
+    if total * 4 <= LUT_BUDGET_BYTES:
+        # dense LUT: one scatter of the N active rows, one gather of the
+        # N*K queries — no sorts, no separate verification pass
+        lut = jnp.full((total + 1,), grid.capacity, dtype=jnp.int32)
+        sid = jnp.where(grid.mask, grid.ids, total)
+        lut = lut.at[sid].set(
+            jnp.arange(grid.capacity, dtype=jnp.int32))[:total]
+        safe = jnp.where(inb, nid, 0)
+        return jnp.where(inb, lut[safe], grid.capacity)
+    # sorted-id binary search fallback for giant grids; method='sort' (one
+    # co-sort) is ~5x faster than the default binary-scan lowering on TPU
+    q = jnp.where(inb, nid, SENTINEL)
+    pos = jnp.searchsorted(grid.ids, q.reshape(-1), method="sort").reshape(q.shape)
+    pos = jnp.clip(pos, 0, grid.capacity - 1)
+    hit = (grid.ids[pos] == q) & inb
+    return jnp.where(hit, pos, grid.capacity)
+
+
 def subm_rulebook(grid: SparseGrid, kernel=(3, 3, 3)) -> jnp.ndarray:
     """Submanifold rulebook: [N, K] gather rows (capacity row = missing).
 
     Output sites == input sites (SubMConv3d semantics); neighbor k of voxel
-    n is the voxel at ``coord + offset_k - kernel//2``, found by binary
-    search in the sorted ids.
+    n is the voxel at ``coord + offset_k - kernel//2``, resolved by a dense
+    occupancy LUT (or sorted-id binary search for giant grids).
     """
     b, d, h, w = grid.shape
     offs = _kernel_offsets(kernel)
@@ -127,13 +153,7 @@ def subm_rulebook(grid: SparseGrid, kernel=(3, 3, 3)) -> jnp.ndarray:
         & grid.mask[:, None]
     )
     nid = ((bb[:, None] * h + ny) * w + nx) * d + nz
-    nid = jnp.where(inb, nid, SENTINEL)
-    # method='sort' (one co-sort) is ~5x faster than the default binary-scan
-    # lowering on TPU for this query volume
-    pos = jnp.searchsorted(grid.ids, nid.reshape(-1), method="sort").reshape(nid.shape)
-    pos = jnp.clip(pos, 0, grid.capacity - 1)
-    hit = (grid.ids[pos] == nid) & inb
-    return jnp.where(hit, pos, grid.capacity)
+    return _lookup(grid, nid, inb)
 
 
 def sparse_conv_apply(features: jnp.ndarray, rulebook: jnp.ndarray,
@@ -299,12 +319,7 @@ def downsample_rulebook(
         & out_grid.mask[:, None]
     )
     iid = ((obb[:, None] * h + iy) * w + ix) * d + iz
-    iid = jnp.where(inb, iid, SENTINEL)
-    ppos = jnp.clip(
-        jnp.searchsorted(grid.ids, iid.reshape(-1), method="sort").reshape(iid.shape),
-        0, grid.capacity - 1)
-    hit = (grid.ids[ppos] == iid) & inb
-    rulebook = jnp.where(hit, ppos, grid.capacity)
+    rulebook = _lookup(grid, iid, inb)
     return out_grid, rulebook
 
 
