@@ -114,15 +114,17 @@ LUT_BUDGET_BYTES = 2 * 1024 ** 3
 def _lookup(grid: SparseGrid, nid: jnp.ndarray, inb: jnp.ndarray) -> jnp.ndarray:
     """Map neighbor ids [N, K] -> input rows (grid.capacity = miss)."""
     total = int(np.prod(grid.shape))
-    if total * 4 <= LUT_BUDGET_BYTES:
+    # int16 halves LUT memset+gather bytes when row indices fit
+    dt = jnp.int16 if grid.capacity < 2 ** 15 - 1 else jnp.int32
+    isize = 2 if dt == jnp.int16 else 4
+    if total * isize <= LUT_BUDGET_BYTES:
         # dense LUT: one scatter of the N active rows, one gather of the
         # N*K queries — no sorts, no separate verification pass
-        lut = jnp.full((total + 1,), grid.capacity, dtype=jnp.int32)
+        lut = jnp.full((total + 1,), grid.capacity, dtype=dt)
         sid = jnp.where(grid.mask, grid.ids, total)
-        lut = lut.at[sid].set(
-            jnp.arange(grid.capacity, dtype=jnp.int32))[:total]
+        lut = lut.at[sid].set(jnp.arange(grid.capacity, dtype=dt))[:total]
         safe = jnp.where(inb, nid, 0)
-        return jnp.where(inb, lut[safe], grid.capacity)
+        return jnp.where(inb, lut[safe].astype(jnp.int32), grid.capacity)
     # sorted-id binary search fallback for giant grids; method='sort' (one
     # co-sort) is ~5x faster than the default binary-scan lowering on TPU
     q = jnp.where(inb, nid, SENTINEL)
