@@ -2,32 +2,23 @@
 
 Measures the full serving path inside a single jit — device voxelization
 (fixed-capacity sort-and-segment), sparse SpMiddleFHD backbone, SSFA neck,
-head, decode + IoU-rectified score + rotated NMS — on a synthetic KITTI-like
-cloud (~18k points in range).
+head, decode + IoU-rectified score + rotated NMS — on a realistic ray-cast
+synthetic lidar frame (64-beam scan: ground plane, cars, walls, poles —
+KITTI-like radial density, ~17k active voxels; sessd_tpu/utils/synth_scene).
 
 Prints ONE JSON line. Baseline: the reference publishes no latency numbers
 (SURVEY §6); BASELINE.json's north star is >=2x an A100 running the
-reference at batch 1. We take 40 scenes/sec as the A100 reference rate
-(SE-SSD reports ~30ms/frame on a high-end GPU), so vs_baseline =
-scenes_per_sec / 40.0.
+reference at batch 1. SE-SSD reports ~30ms/frame on a high-end GPU, so the
+A100 rate is ~40 scenes/sec and the target is 80: vs_baseline =
+scenes_per_sec / 80.0 (>=1.0 means the north star is met). p50/p90 batch-1
+latencies are reported alongside.
 """
 import json
 import time
 
 import numpy as np
 
-
-def make_points(rng, n=18000):
-    # ground plane + clutter + a few car-like clusters, inside the KITTI range
-    pts = np.concatenate(
-        [
-            np.stack([rng.uniform(0, 70, n // 2), rng.uniform(-40, 40, n // 2),
-                      rng.uniform(-1.9, -1.5, n // 2), rng.uniform(0, 1, n // 2)], 1),
-            np.stack([rng.uniform(0, 70, n // 2), rng.uniform(-40, 40, n // 2),
-                      rng.uniform(-1.5, 1.0, n // 2), rng.uniform(0, 1, n // 2)], 1),
-        ]
-    )
-    return pts.astype(np.float32)
+from sessd_tpu.utils.synth_scene import make_scene
 
 
 def main():
@@ -52,8 +43,7 @@ def main():
         .reshape(-1, 7))
     cfg = PredictConfig()
 
-    rng = np.random.RandomState(0)
-    points = jnp.asarray(make_points(rng))
+    points = jnp.asarray(make_scene(seed=0)[0])
 
     def infer(variables, pts):
         voxels, coords_zyx, num_points, _ = voxelize_jax(pts, spec)
@@ -103,20 +93,32 @@ def main():
         out = fn(variables, points)
     fetch(out)
 
-    iters = 20
+    # throughput: pipelined submissions, one readback at the end
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(variables, points)
     fetch(out)
     dt = time.perf_counter() - t0
 
+    # latency: serialized — every iteration forces a device readback
+    lat = []
+    for _ in range(iters):
+        t1 = time.perf_counter()
+        out = fn(variables, points)
+        fetch(out)
+        lat.append(time.perf_counter() - t1)
+
     scenes_per_sec = iters / dt
-    baseline_a100 = 40.0
+    target_2x_a100 = 80.0  # BASELINE.json north star: >=2x A100 (~40/s)
     print(json.dumps({
         "metric": "sessd_batch1_scenes_per_sec",
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/sec",
-        "vs_baseline": round(scenes_per_sec / baseline_a100, 3),
+        "vs_baseline": round(scenes_per_sec / target_2x_a100, 3),
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+        "p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 2),
+        "vs_1x_a100": round(scenes_per_sec / 40.0, 3),
     }))
 
 
