@@ -33,11 +33,20 @@ def main():
     from sessd_tpu.ops.voxelize import KITTI_VOXELIZER, voxelize_jax
     from sessd_tpu.core.anchors import create_anchors_3d_range
 
+    import os
+
     spec = KITTI_VOXELIZER
     sparse_shape = spec.sparse_shape  # (41, 1600, 1408)
-    # serving config: bf16 compute, hybrid sparse/masked-dense backbone
-    model = VoxelNet(sparse_shape=sparse_shape, dtype=jnp.bfloat16,
-                     dense_from_stage=2)
+    # serving config: bf16 compute, all-sparse backbone through the fused
+    # Pallas windowed conv (dense stages at 1.2% occupancy waste ~86x MXU
+    # FLOPs; the all-sparse plan is exactly reference-parity per the torch
+    # goldens). Env overrides allow A/B runs.
+    dfs = int(os.environ.get("SESSD_DFS", "5"))
+    conv_impl = os.environ.get("SESSD_CONV_IMPL", "auto")
+    dtype = dict(bf16=jnp.bfloat16, f32=jnp.float32)[
+        os.environ.get("SESSD_DTYPE", "bf16")]
+    model = VoxelNet(sparse_shape=sparse_shape, dtype=dtype,
+                     dense_from_stage=dfs, conv_impl=conv_impl)
     anchors = jnp.asarray(
         create_anchors_3d_range([1, 200, 176], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
         .reshape(-1, 7))
@@ -70,8 +79,12 @@ def main():
     import numpy as _np
 
     if cpu is not None:
+        # init on the CPU backend compiles much faster; use the gather-plan
+        # twin (identical param tree, no Pallas lowering on CPU)
+        init_model = VoxelNet(sparse_shape=sparse_shape, dtype=dtype,
+                              dense_from_stage=dfs, conv_impl="gather")
         with jax.default_device(cpu):
-            variables = model.init(
+            variables = init_model.init(
                 jax.random.PRNGKey(0), *jax.device_put(
                     (voxels, coords, num_points, valid), cpu), 1, train=False)
         variables = jax.device_put(

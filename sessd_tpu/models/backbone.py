@@ -29,6 +29,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import sparse as sp
+from ..ops.pallas.wconv import windowed_conv
 from .layers import MaskedBatchNorm
 
 
@@ -63,6 +64,10 @@ class SparseConvBlock(nn.Module):
 
     strides: Tuple[int, int, int] = (1, 1, 1)
     padding: Tuple[int, int, int] = (1, 1, 1)
+    # sparse conv implementation: "auto" = fused Pallas windowed kernel on
+    # TPU inference, XLA gather elsewhere; "pallas" / "gather" force one
+    conv_impl: str = "auto"
+    window: int = 768
 
     @nn.compact
     def __call__(self, x, rulebook=None, out_mask=None, train: bool = False,
@@ -73,10 +78,17 @@ class SparseConvBlock(nn.Module):
         if dense_inputs is None:
             cin = x.shape[-1]
             w = self._kernel(cin).astype(self.dtype)
-            # plain implicit-GEMM gather; measured fastest on v5e for the
-            # KITTI voxel counts (the windowed one-hot variant in ops/sparse
-            # only wins when block spans stay tiny AND hit rates are high)
-            y = sp.sparse_conv_apply(x, rulebook, w, out_mask)
+            use_pallas = self.conv_impl == "pallas" or (
+                self.conv_impl == "auto" and not train
+                and jax.default_backend() != "cpu")
+            if use_pallas:
+                # fused windowed one-hot gather-GEMM (ops/pallas/wconv):
+                # windows + one-hot live in VMEM, ~2x the XLA gather at the
+                # 16/32ch stages; exact (span fallback inside)
+                y = windowed_conv(x, rulebook, w, out_mask,
+                                  window=self.window)
+            else:
+                y = sp.sparse_conv_apply(x, rulebook, w, out_mask)
             y = self._norm(y, out_mask, train)
         else:
             xd, occ_out = dense_inputs
@@ -95,6 +107,10 @@ class SparseConvBlock(nn.Module):
             b, d, h, wd, c = y.shape
             flat_mask = occ_out.reshape(-1) > 0
             y = self._norm(y.reshape(-1, c), flat_mask, train).reshape(b, d, h, wd, c)
+            # re-mask: BN's bias/mean shift makes unoccupied sites nonzero,
+            # and the next conv would read them as (missing) neighbors —
+            # breaking submanifold semantics (caught by the torch goldens)
+            y = y * occ_out
         if self.use_relu:
             y = nn.relu(y)
         return y
@@ -152,6 +168,11 @@ class SpMiddleFHD(nn.Module):
     # rematerialize block activations in the backward pass — without it the
     # dense-stage f32 activations of a batch-4 training step overflow 16G HBM
     remat: bool = True
+    # sparse conv implementation + per-kind Pallas window sizes (downsample
+    # rulebooks have ~2x the per-block source spans of submanifold ones)
+    conv_impl: str = "auto"
+    subm_window: int = 768
+    down_window: int = 2048
 
     @nn.compact
     def __call__(self, voxel_features, coords_bzyx, valid, batch_size: int,
@@ -183,11 +204,13 @@ class SpMiddleFHD(nn.Module):
                      if self.remat else SparseConvBlock)
 
         def block(feats, kvol, kshape=(3, 3, 3), strides=(1, 1, 1),
-                  padding=(1, 1, 1)):
+                  padding=(1, 1, 1), window=None):
             m = block_cls(
                 feats, kvol, self.use_norm, axis_name=self.axis_name,
                 dtype=self.dtype, kernel_shape=kshape,
                 strides=strides, padding=padding,
+                conv_impl=self.conv_impl,
+                window=window or self.subm_window,
                 name=f"SparseConvBlock_{blk[0]}")
             blk[0] += 1
             return m
@@ -206,7 +229,8 @@ class SpMiddleFHD(nn.Module):
                 if stage <= dfs:
                     grid_new, rbd = sp.downsample_rulebook(grid, dk, ds, dp,
                                                            caps[stage])
-                    x = block(feats, int(np.prod(dk)), dk)(
+                    x = block(feats, int(np.prod(dk)), dk,
+                              window=self.down_window)(
                         x, rbd, grid_new.mask, train)
                     grid = grid_new
                 else:

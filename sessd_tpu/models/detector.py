@@ -28,6 +28,7 @@ class VoxelNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stage_capacity: Tuple[int, ...] = (20000, 22000, 18000, 12000, 8000)
     dense_from_stage: int = 2
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, voxels, coords_bzyx, num_points, valid, batch_size: int,
@@ -46,6 +47,7 @@ class VoxelNet(nn.Module):
             dtype=self.dtype,
             stage_capacity=self.stage_capacity,
             dense_from_stage=self.dense_from_stage,
+            conv_impl=self.conv_impl,
             name="backbone",
         )(feats, coords_bzyx, valid, batch_size, self.sparse_shape, train)
         bev = SSFA(axis_name=self.axis_name, dtype=self.dtype, name="neck")(bev, train)

@@ -1,0 +1,243 @@
+"""Fused windowed one-hot sparse conv (gather-GEMM) as a Pallas TPU kernel.
+
+This is the TPU-native replacement for the hot op of the spconv backbone
+(reference: the implicit-GEMM gather inside every SubMConv3d/SparseConv3d,
+det3d/models/backbones/scn.py:92-189). XLA's dynamic gather moves only
+~3.3G elements/s on v5e (scalar-issued row copies), which made the r1
+forward gather-bound; and the pure-XLA windowed one-hot formulation
+(ops/sparse.sparse_conv_apply_windowed) loses because XLA materializes the
+[K, nb, B, W] one-hot and the gathered windows through HBM.
+
+The kernel exploits the structural property of rulebooks over *sorted*
+voxel ids: each kernel-offset column is monotone over output rows, so the
+sources feeding a block of `block` consecutive outputs live in a window of
+at most `window` consecutive input rows. Everything runs in a TRANSPOSED
+[C, N] layout — N on the 128-wide lane dimension — so a window is a fully
+packed [Cin, W] vector load at a 128-aligned lane offset (the row-major
+[N, C] layout pads C=16..64 channels to 128 lanes and wastes 2-8x of every
+load). Per (block, offset):
+
+    win    = features_t[:, lo : lo+W]     # [Cin, W], aligned lane slice
+    onehot = (iota_W == rulebook - lo)    # [W, B], built in registers
+    g_kᵀ   = win @ onehot                 # MXU, [Cin, B]
+
+and one trailing [Cout, K*Cin] @ [K*Cin, B] GEMM applies the conv weights.
+The full feature array lives in VMEM (~1-5 MB for the KITTI stages), the
+one-hot and windows never exist in HBM, and misses point at a zero column.
+Falls back to the plain XLA gather when any block's span exceeds `window`
+(exactness guarantee; sized to never trigger on KITTI-like scenes).
+
+The custom VJP runs a mirrored Pallas kernel accumulating dFeatures via the
+sequential-grid read-modify-write pattern, with a pure-XLA scatter-add
+fallback used in interpret (CPU test) mode.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _onehot(rb_row, lo, window, block, dtype):
+    rel = rb_row - lo  # [1, B]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (window, block), 0)
+    return (iota == rel).astype(dtype)  # [W, B]
+
+
+def _fwd_kernel(lo_ref, rb_ref, feat_ref, w_ref, out_ref, g_ref, *,
+                window, block, k, cin):
+    i = pl.program_id(0)
+    for kk in range(k):
+        lo = pl.multiple_of(lo_ref[kk, i], 128)
+        win = feat_ref[:, pl.ds(lo, window)]  # [Cin, W]
+        oh = _onehot(rb_ref[kk:kk + 1, :], lo, window, block, feat_ref.dtype)
+        g = jax.lax.dot_general(
+            win, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Cin, B]
+        g_ref[kk * cin:(kk + 1) * cin, :] = g.astype(g_ref.dtype)
+    out_ref[:] = jax.lax.dot_general(
+        w_ref[:], g_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _bwd_kernel(lo_ref, rb_ref, feat_ref, w_ref, dout_ref,
+                dfeat_ref, dw_ref, g_ref, *, window, block, k, cin):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dfeat_ref[:] = jnp.zeros_like(dfeat_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dout = dout_ref[:]  # [Cout, B]
+    # dGᵀ = Wᵀ @ dout : [K*Cin, B]
+    dg = jax.lax.dot_general(
+        w_ref[:], dout, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(feat_ref.dtype)
+    for kk in range(k):
+        lo = pl.multiple_of(lo_ref[kk, i], 128)
+        win = feat_ref[:, pl.ds(lo, window)]
+        oh = _onehot(rb_ref[kk:kk + 1, :], lo, window, block, feat_ref.dtype)
+        # recompute g_k for dW
+        g = jax.lax.dot_general(
+            win, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_ref[kk * cin:(kk + 1) * cin, :] = g.astype(g_ref.dtype)
+        # dWin = dG_k @ onehotᵀ : [Cin, W]; sequential grid -> in-place +=
+        dwin = jax.lax.dot_general(
+            dg[kk * cin:(kk + 1) * cin, :], oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dfeat_ref[:, pl.ds(lo, window)] += dwin
+    dw_ref[:] += jax.lax.dot_general(
+        dout, g_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [Cout, K*Cin]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _core(window, block, interpret, feats_t, rb_t, lo_t, w2t):
+    """feats_t [Cin, Np] (lanes = rows, zero cols beyond n_in), rb_t
+    [K, n_pad] int32 (zero col = miss target n_in), lo_t [K, nb] int32
+    (128-aligned clamped window starts), w2t [Cout, K*Cin].
+    Returns out_t [Cout, n_pad] in feats dtype."""
+    return _core_fwd(window, block, interpret, feats_t, rb_t, lo_t, w2t)[0]
+
+
+def _core_fwd(window, block, interpret, feats_t, rb_t, lo_t, w2t):
+    k, n_pad = rb_t.shape
+    cin = feats_t.shape[0]
+    cout = w2t.shape[0]
+    nb = n_pad // block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((k, block), lambda i, lo: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # features, resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, resident
+        ],
+        out_specs=pl.BlockSpec((cout, block), lambda i, lo: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((k * cin, block), feats_t.dtype)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, window=window, block=block, k=k,
+                          cin=cin),
+        out_shape=jax.ShapeDtypeStruct((cout, n_pad), feats_t.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lo_t, rb_t, feats_t, w2t)
+    return out, (feats_t, rb_t, lo_t, w2t)
+
+
+def _core_bwd(window, block, interpret, res, dout_t):
+    feats_t, rb_t, lo_t, w2t = res
+    k, n_pad = rb_t.shape
+    cin = feats_t.shape[0]
+    cout = w2t.shape[0]
+    if interpret:
+        # pure-XLA fallback (CPU tests): scatter-add formulation
+        rb = rb_t.T  # [n_pad, K]
+        feats = feats_t.T  # [Np, Cin]
+        g = feats[rb].reshape(n_pad, k * cin)
+        dout = dout_t.T  # [n_pad, Cout]
+        dw2 = jax.lax.dot_general(
+            dout.astype(jnp.float32), g.astype(jnp.float32),
+            (((0,), (0,)), ((), ())))  # [Cout, KCin]
+        dg = jax.lax.dot_general(
+            dout, w2t, (((1,), (0,)), ((), ()))).astype(feats.dtype)
+        dfeat = jnp.zeros_like(feats).at[rb].add(dg.reshape(n_pad, k, cin))
+        return dfeat.T, None, None, dw2.astype(w2t.dtype)
+
+    nb = n_pad // block
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((k, block), lambda i, lo: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # features
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec((cout, block), lambda i, lo: (0, i),
+                         memory_space=pltpu.VMEM),  # dout_t
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dfeat_t, accumulated
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # dw2t, accumulated
+        ],
+        scratch_shapes=[pltpu.VMEM((k * cin, block), feats_t.dtype)],
+    )
+    dfeat_t, dw2t = pl.pallas_call(
+        functools.partial(_bwd_kernel, window=window, block=block, k=k,
+                          cin=cin),
+        out_shape=[
+            jax.ShapeDtypeStruct(feats_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w2t.shape, jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lo_t, rb_t, feats_t, w2t, dout_t)
+    return dfeat_t.astype(feats_t.dtype), None, None, dw2t.astype(w2t.dtype)
+
+
+_core.defvjp(_core_fwd, _core_bwd)
+
+
+def windowed_conv(features, rulebook, weights, out_mask, *,
+                  window: int = 768, block: int = 256,
+                  interpret: bool = False):
+    """Drop-in Pallas twin of ops.sparse.sparse_conv_apply.
+
+    features [N_in, Cin]; rulebook [N_out, K] rows into features
+    (N_in = miss); weights [K, Cin, Cout]; out_mask [N_out] bool.
+    Exact: if any (block, offset) aligned source span exceeds `window` the
+    whole conv falls back to the plain gather formulation inside a
+    lax.cond. `window` must be a multiple of 128.
+    """
+    n_in, cin = features.shape
+    n_out, k = rulebook.shape
+    cout = weights.shape[-1]
+    from .. import sparse as sp
+    # lane-padded row count; misses (= n_in) land on a zero column
+    np_rows = (n_in + 1 + 127) // 128 * 128
+    if np_rows <= window:  # tiny inputs: plain path is fine
+        return sp.sparse_conv_apply(features, rulebook, weights, out_mask)
+
+    n_pad = (n_out + block - 1) // block * block
+    nb = n_pad // block
+    rb = jnp.pad(rulebook, ((0, n_pad - n_out), (0, 0)), constant_values=n_in)
+    rb_t = rb.T  # [K, n_pad]
+
+    idx = rb_t.reshape(k, nb, block)
+    valid = idx < n_in
+    big = jnp.int32(np_rows)
+    lo = jnp.min(jnp.where(valid, idx, big), axis=-1)  # [K, nb]
+    hi = jnp.max(jnp.where(valid, idx, -1), axis=-1)
+    has = jnp.any(valid, axis=-1)
+    lo = jnp.where(has, lo, 0) & ~jnp.int32(127)  # 128-align down
+    span_ok = jnp.all(jnp.where(has, hi - lo < window, True))
+    lo = jnp.clip(lo, 0, np_rows - window)
+
+    feats_t = jnp.zeros((cin, np_rows), features.dtype)
+    feats_t = jax.lax.dynamic_update_slice(feats_t, features.T, (0, 0))
+    w2t = weights.reshape(k * cin, cout).T.astype(features.dtype)
+
+    def fast(_):
+        out_t = _core(window, block, interpret, feats_t, rb_t, lo, w2t)
+        return out_t.T[:n_out]
+
+    def slow(_):
+        fp = jnp.concatenate(
+            [features, jnp.zeros((1, cin), features.dtype)], axis=0)
+        g = fp[rulebook]
+        return jax.lax.dot_general(
+            g.reshape(-1, k * cin), weights.reshape(k * cin, cout).astype(
+                features.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(features.dtype)
+
+    out = jax.lax.cond(span_ok, fast, slow, None)
+    return jnp.where(out_mask[:, None], out, 0.0).astype(features.dtype)

@@ -30,15 +30,31 @@ def make_mesh(devices=None) -> Mesh:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place host batch arrays with the leading axis split over the mesh."""
+    """Place host batch arrays with the leading axis split over the mesh.
+
+    Multi-host: each process passes its LOCAL shard (the host-sharded
+    DataLoader slice); the global array is assembled across processes —
+    the jax equivalent of DistributedSampler + DDP input scatter
+    (sampler.py:74-222, SURVEY §2.3).
+    """
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
     return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    sh = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        # identical host values on every process -> a replicated global array
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
+    return jax.device_put(tree, sh)
 
 
 def make_sharded_train_step(train_step_fn, mesh: Mesh):

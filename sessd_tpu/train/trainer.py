@@ -43,10 +43,17 @@ class Trainer:
         self.seed = seed
         self.logger = get_root_logger(self.work_dir)
 
+        # multi-host: each process loads its own slice of every epoch
+        # (the jax replacement for DistributedSampler, sampler.py:74-222);
+        # tools/train.py calls jax.distributed.initialize() beforehand
+        self.num_hosts = jax.process_count()
+        self.host_id = jax.process_index()
+
         self.train_dataset = builder.build_dataset(cfg, "train", seed=seed)
         self.val_dataset = builder.build_dataset(cfg, "val", seed=seed)
-        self.train_loader = builder.build_dataloader(cfg, self.train_dataset,
-                                                     shuffle=True, seed=seed)
+        self.train_loader = builder.build_dataloader(
+            cfg, self.train_dataset, shuffle=True, seed=seed,
+            num_shards=self.num_hosts, shard_index=self.host_id)
         self.val_loader = builder.build_dataloader(cfg, self.val_dataset,
                                                    shuffle=False, seed=seed)
 
@@ -56,7 +63,11 @@ class Trainer:
         self.loss_cfg = builder.build_loss_config(cfg)
         self.predict_cfg = builder.build_predict_config(cfg)
 
-        if distributed:
+        if distributed and self.num_hosts > 1:
+            # global mesh over all hosts' devices; every host feeds its
+            # per-host batch slice (samples_per_gpu rows each)
+            self.mesh = make_mesh()
+        elif distributed:
             bs = cfg.data["samples_per_gpu"]
             n_dev = len(jax.devices())
             k = max(d for d in range(1, min(n_dev, bs) + 1) if bs % d == 0)
@@ -154,10 +165,16 @@ class Trainer:
                     tb.log(avg, int(self.state.step))
                 t_data = time.time()
             self.epoch += 1
-            if self.epoch % self.cfg.checkpoint_config.get("interval", 1) == 0:
+            if (self.host_id == 0 and self.epoch
+                    % self.cfg.checkpoint_config.get("interval", 1) == 0):
                 ckpt.save_checkpoint(self.work_dir, jax.device_get(self.state),
                                      self.epoch)
                 self.logger.info(f"saved checkpoint at epoch {self.epoch}")
+            # mid-training AP signal (VERDICT r1: don't wait 60 epochs)
+            val_interval = cfg.get("val_interval", 0)
+            if (val_interval and self.epoch % val_interval == 0
+                    and self.epoch < total_epochs):
+                self.validate()
         # final val (workflow [("train", N), ("val", 1)])
         results = self.validate()
         return results
@@ -179,7 +196,7 @@ class Trainer:
                 num_points.reshape(-1), mask.reshape(-1), b, train=False)
             return predict_batch(preds[0], anchors, frustum, predict_cfg)
 
-        if self.mesh is not None:
+        if self.mesh is not None and self.num_hosts == 1:
             # per-shard inference; fixed-shape detection buffers come back
             # sharded along batch — the lax.all_gather equivalent of the
             # reference's pickled eval gather (SURVEY §2.3)
@@ -196,7 +213,14 @@ class Trainer:
 
     def validate(self, use_ema: bool = False, max_batches: Optional[int] = None):
         """Run the student over the val split and compute official AP
-        (trainer_sessd.py:362-415 val workflow)."""
+        (trainer_sessd.py:362-415 val workflow).
+
+        Multi-host: host 0 evaluates the full val split locally (ending in
+        the same state as the reference's rank-0 pickle gather,
+        trainer/utils.py:115-157); other hosts return None and rejoin at
+        the next jitted train step."""
+        if self.num_hosts > 1 and self.host_id != 0:
+            return None
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
         params = self.state.ema_params if use_ema else self.state.params

@@ -55,7 +55,7 @@ def car_points(box, n, rng):
     return pts.astype(np.float32)
 
 
-def make_frame(root, idx, rng, num_cars=3):
+def make_frame(root, idx, rng, num_cars=3, pts_per_car=150, ground_points=4000):
     root = pathlib.Path(root)
     for sub in ("velodyne", "calib", "label_2", "image_2"):
         (root / "training" / sub).mkdir(parents=True, exist_ok=True)
@@ -87,10 +87,11 @@ def make_frame(root, idx, rng, num_cars=3):
         ])
     boxes = np.array(boxes)
 
-    pts = [car_points(b, 150, rng) for b in boxes]
+    pts = [car_points(b, pts_per_car, rng) for b in boxes]
+    g = ground_points
     ground = np.stack(
-        [rng.uniform(4, 60, 4000), rng.uniform(-30, 30, 4000),
-         rng.uniform(-1.9, -1.6, 4000), rng.uniform(0, 1, 4000)], axis=1
+        [rng.uniform(4, 60, g), rng.uniform(-30, 30, g),
+         rng.uniform(-1.9, -1.6, g), rng.uniform(0, 1, g)], axis=1
     ).astype(np.float32)
     points = np.concatenate(pts + [ground])
     points.tofile(str(root / "training" / "velodyne" / f"{sid}.bin"))
@@ -120,9 +121,12 @@ def make_frame(root, idx, rng, num_cars=3):
     return boxes
 
 
-def make_kitti_root(tmpdir, num_frames=4, seed=0, num_cars=3):
+def make_kitti_root(tmpdir, num_frames=4, seed=0, num_cars=3,
+                    pts_per_car=150, ground_points=4000):
     rng = np.random.RandomState(seed)
     boxes = {}
     for i in range(num_frames):
-        boxes[i] = make_frame(tmpdir, i, rng, num_cars=num_cars)
+        boxes[i] = make_frame(tmpdir, i, rng, num_cars=num_cars,
+                              pts_per_car=pts_per_car,
+                              ground_points=ground_points)
     return boxes

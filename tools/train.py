@@ -25,7 +25,22 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--no-dist", action="store_true",
                         help="single-device (no mesh)")
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 for multi-host runs")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
+
+    if args.coordinator is not None:
+        # multi-host bootstrap (the jax equivalent of init_dist,
+        # det3d/torchie/apis/env.py:13-51); under SLURM/GKE plain
+        # jax.distributed.initialize() with no args also works
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
 
     from sessd_tpu.config import Config
     from sessd_tpu.train.trainer import Trainer
