@@ -100,11 +100,12 @@ def rotate_weighted_nms(
     labels: jnp.ndarray,
     scores: jnp.ndarray,
     iou_preds: jnp.ndarray,
-    anchors: jnp.ndarray,
+    anchors: jnp.ndarray | None = None,
     *,
     pre_max_size: int = 1000,
     post_max_size: int = 100,
-    iou_threshold: float = 0.01,
+    iou_threshold: float = 0.01,  # accepted and UNUSED, like the reference
+    enable_centerness: bool = True,
     centerness_pow: int = 2,
     nms_cnt_thresh: float = 2.6,
     nms_sigma_dist_interval=(0, 20, 40, 60),
@@ -112,64 +113,99 @@ def rotate_weighted_nms(
     suppressed_thresh: float = 0.3,
     row_chunk: int | None = 128,
 ):
-    """DI-NMS ("distance-interval" IoU-weighted NMS) — TPU re-design of
-    ``IOU_weighted_rotate_non_max_suppression_cpu`` (nms_cpu.h:174-383),
-    the optional CIA-SSD decode mode kept in SE-SSD (mg_head_sessd.py:999+).
+    """DI-NMS ("distance-interval" IoU-weighted NMS) — exact-semantics TPU
+    redesign of ``IOU_weighted_rotate_non_max_suppression_cpu``
+    (nms_cpu.h:174-383) + its torch wrapper (box_torch_ops.py:552-621), the
+    optional CIA-SSD decode mode kept in SE-SSD (mg_head_sessd.py:999-1022).
+    Golden-tested against the literal host port (core/nms_np.py).
 
-    Kept boxes are replaced by a confidence-weighted average of their
-    cluster: weights = score * exp(-(1-iou)^2 / sigma) with sigma chosen by
-    the box's distance interval; a centerness factor damps far clusters.
-    Returns (boxes [post, 7], dir_labels, labels, scores, valid mask).
+    The reference is an inherently sequential pick-max / merge / maybe-recover
+    loop; here each pick is ONE while_loop iteration of vectorized [pre] work
+    against a precomputed exact rotated-IoU matrix (iterations = number of
+    picked leaders, typically tens). Per leader i (descending damped score):
+
+    - cnt      = sum over same-label j of iou(i,j) * iou_preds[j]  (iou > 0)
+    - members  = same-label j with iou(i,j) > suppressed_thresh
+    - merged   = sum_j exp(-(1-iou)^2/sigma(dist_i)) * iou_preds[j] * box_j
+                 (ALL 7 dims, heading included), normalized; sigma by the
+                 leader's distance interval, weight 0 past the last interval
+                 (where the reference 0/0-NaNs; we keep the leader's box)
+    - keep iff cnt > nms_cnt_thresh, with score = max member damped score;
+      else recover the boxes this leader suppressed (label-agnostic
+      suppression at iou >= suppressed_thresh).
+
+    ``iou_threshold`` is unused by the reference kernel too (suppression runs
+    at suppressed_thresh). Returns (boxes [post, 7], dir_labels, labels,
+    scores, valid mask).
     """
     n = boxes5.shape[0]
     pre = min(pre_max_size, n)
     top_scores, order = jax.lax.top_k(scores, pre)
-    b5 = boxes5[order]
-    b7 = boxes[order]
-    iou = iou_bev_matrix(b5, b5, row_chunk=_chunk(pre, row_chunk))
     valid_in = top_scores > -jnp.inf
-    kept = _greedy_keep(iou, valid_in, iou_threshold)
+    if enable_centerness and anchors is not None:
+        # wrapper pre-damping (box_torch_ops.py:582-586): masked softmax of
+        # box-to-anchor BEV distance over the valid pre-NMS set
+        d = jnp.sqrt(jnp.sum(
+            (boxes[order][:, :2] - anchors[order][:, :2]) ** 2, axis=-1))
+        e = jnp.where(valid_in, jnp.exp(d - jnp.max(jnp.where(valid_in, d, -jnp.inf))), 0.0)
+        softmax = e / jnp.maximum(jnp.sum(e), 1e-20)
+        top_scores = jnp.where(
+            valid_in, top_scores * (1.0 - softmax) ** centerness_pow, -jnp.inf)
+    b5 = boxes5[order]
+    b7 = boxes[order].astype(jnp.float32)
+    lab = labels[order]
+    iop = iou_preds[order].astype(jnp.float32)
+    iou = iou_bev_matrix(b5, b5, row_chunk=_chunk(pre, row_chunk))
 
-    # cluster membership: every box joins the highest-scoring kept box that
-    # overlaps it above suppressed_thresh (including itself).
-    member = (iou >= suppressed_thresh) & valid_in[None, :]  # [pre(kept), pre(all)]
-    member = member & kept[:, None]
-    member = member.at[jnp.arange(pre), jnp.arange(pre)].set(kept)
-
-    # sigma by distance interval of the kept box
+    # sigma by the leader's distance-to-origin interval; 0 past the last
+    # interval edge (nms_cpu.h:329-335 only assigns inside [d_k, d_k+1))
     dist = jnp.sqrt(b7[:, 0] ** 2 + b7[:, 1] ** 2)
-    conds = []
-    for k in range(len(nms_sigma_square)):
-        lo = nms_sigma_dist_interval[k]
-        hi_ok = (
-            dist < nms_sigma_dist_interval[k + 1]
-            if k + 1 < len(nms_sigma_dist_interval)
-            else jnp.ones_like(dist, dtype=bool)
-        )
-        conds.append((dist >= lo) & hi_ok)
-    sigma = jnp.select(conds, [jnp.full_like(dist, s) for s in nms_sigma_square])
+    sigma = jnp.zeros_like(dist)
+    for k in range(len(nms_sigma_dist_interval) - 1):
+        inside = (dist >= nms_sigma_dist_interval[k]) & (
+            dist < nms_sigma_dist_interval[k + 1])
+        sigma = jnp.where(inside, nms_sigma_square[k], sigma)
 
-    w = top_scores[None, :] * jnp.exp(-((1.0 - iou) ** 2) / sigma[:, None])
-    w = jnp.where(member, w, 0.0)
-    cnt = jnp.sum(member, axis=1).astype(b7.dtype)
-    wsum = jnp.maximum(jnp.sum(w, axis=1), 1e-6)
-    merged = (w @ b7) / wsum[:, None]
-    # keep the kept box's own heading/dir (cluster averaging of angles is
-    # ill-posed); merge centers and sizes only, as the reference does for
-    # its "match_high_score_box" path.
-    merged = merged.at[:, 6].set(b7[:, 6])
+    def body(state):
+        suppressed, kept, out_b, out_s = state
+        idx = jnp.argmax(jnp.where(suppressed, -jnp.inf, top_scores))
+        ov = iou[idx]
+        same = lab == lab[idx]
+        cnt = jnp.sum(jnp.where((ov > 0) & same & valid_in, ov * iop, 0.0))
+        member = (ov > suppressed_thresh) & same & valid_in
+        w = jnp.where(member & (sigma[idx] > 0),
+                      jnp.exp(-((1.0 - ov) ** 2) / jnp.maximum(sigma[idx], 1e-20)) * iop,
+                      0.0)
+        wsum = jnp.sum(w)
+        merged = jnp.where(wsum != 0, (w @ b7) / jnp.where(wsum != 0, wsum, 1.0),
+                           b7[idx])
+        score_out = jnp.max(jnp.where(member, top_scores, -jnp.inf))
+        keep_it = cnt > nms_cnt_thresh
+        newly = (~suppressed) & (ov >= suppressed_thresh)
+        suppressed = jnp.where(keep_it, suppressed | newly, suppressed)
+        suppressed = suppressed.at[idx].set(True)
+        kept = kept.at[idx].set(keep_it)
+        out_b = jnp.where(keep_it, out_b.at[idx].set(merged), out_b)
+        out_s = jnp.where(keep_it, out_s.at[idx].set(score_out), out_s)
+        return suppressed, kept, out_b, out_s
 
-    centerness = (1.0 - jnp.clip(dist / nms_sigma_dist_interval[-1], 0.0, 1.0)) ** centerness_pow
-    score_scale = jnp.where(cnt < nms_cnt_thresh, centerness, 1.0)
-    out_scores = top_scores * score_scale
+    def cond(state):
+        return jnp.any(~state[0])
 
-    kept_rank = jnp.where(kept, jnp.arange(pre), pre + 1)
+    state0 = (~valid_in, jnp.zeros((pre,), bool),
+              jnp.zeros_like(b7), jnp.full((pre,), -jnp.inf, top_scores.dtype))
+    _, kept, out_b, out_s = jax.lax.while_loop(cond, body, state0)
+
+    # picks happen in strictly descending damped-score order (recovery can
+    # only restore boxes scored below the current leader), so sorting kept
+    # leaders by damped score reproduces the reference pick order
+    kept_rank = jnp.where(kept, -top_scores, jnp.inf)
     sel = jnp.argsort(kept_rank)[:post_max_size]
     sel_valid = kept[sel]
     return (
-        merged[sel],
+        out_b[sel],
         dir_labels[order][sel],
         labels[order][sel],
-        jnp.where(sel_valid, out_scores[sel], -jnp.inf),
+        jnp.where(sel_valid, out_s[sel], -jnp.inf),
         sel_valid,
     )

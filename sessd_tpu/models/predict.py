@@ -73,6 +73,8 @@ def predict_single(preds, anchors, frustum_surfaces, cfg: PredictConfig):
         from ..core.nms import rotate_weighted_nms
 
         dir_labels_all = jnp.argmax(preds["dir_cls_preds"], axis=-1)
+        # reference call site (mg_head_sessd.py:1001-1018): raw iou_preds
+        # (pre-rectification), per-box anchors, enable_centerness pow 2
         merged, dirs, labels, w_scores, valid = rotate_weighted_nms(
             boxes, boxes5, dir_labels_all,
             jnp.zeros((boxes.shape[0],), jnp.int32), nms_scores,

@@ -100,7 +100,28 @@ def test_predict_dinms_mode(rng):
     anchors = jnp.asarray(
         create_anchors_3d_range([1, 8, 11], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
         .reshape(-1, 7))
-    preds, hot = make_preds(rng, a=anchors.shape[0])
+    from sessd_tpu.core import box_jax
+
+    a = anchors.shape[0]
+    # a tight cluster: 8 confident anchors all decoding to (nearly) the same
+    # box, with high iou_preds — exact DI-NMS semantics only keep leaders
+    # with cnt = sum(iou * iou_pred) > 2.6, so scattered singletons are
+    # (correctly) dropped
+    cls = np.full((a, 1), -3.0, np.float32)
+    hot = np.arange(16, 24)
+    cls[hot] = 3.0
+    target = jnp.asarray([[20.0, 5.0, -1.0, 1.6, 3.9, 1.5, 0.3]],
+                         jnp.float32)
+    enc = box_jax.second_box_encode(
+        jnp.tile(target, (len(hot), 1)), anchors[hot])
+    box_preds = rng.randn(a, 7).astype(np.float32) * 0.02
+    box_preds[hot] = np.asarray(enc) + rng.randn(len(hot), 7) * 0.01
+    preds = {
+        "box_preds": jnp.asarray(box_preds),
+        "cls_preds": jnp.asarray(cls),
+        "dir_cls_preds": jnp.asarray(rng.randn(a, 2).astype(np.float32)),
+        "iou_preds": jnp.asarray(np.full((a, 1), 0.9, np.float32)),
+    }
     cfg = PredictConfig(nms_pre_max_size=64, nms_post_max_size=16,
                         nms_type="rotate_weighted_nms")
     out = predict_single(preds, anchors, None, cfg)
@@ -114,17 +135,22 @@ def test_rotate_weighted_nms_runs(rng):
     import jax.numpy as jnp
     from sessd_tpu.core.nms import rotate_weighted_nms
 
-    n = 32
+    # two tight clusters (high mutual IoU + high iou_preds -> cnt > 2.6) and
+    # a few scattered boxes that exact DI-NMS must (correctly) drop
+    centers = np.array([[10.0, 0.0], [10.0, 0.0], [10.2, 0.1], [9.9, -0.1],
+                        [30.0, 8.0], [30.1, 8.1], [29.9, 7.9], [30.0, 8.2],
+                        [5.0, -15.0], [50.0, 20.0]], np.float32)
+    n = centers.shape[0]
     boxes7 = np.concatenate(
-        [rng.uniform(-20, 20, (n, 2)), rng.uniform(-1, 0, (n, 1)),
-         rng.uniform(1.5, 1.8, (n, 2)), rng.uniform(1.4, 1.6, (n, 1)),
-         rng.uniform(-np.pi, np.pi, (n, 1))], 1).astype(np.float32)
+        [centers, np.full((n, 1), -1.0, np.float32),
+         np.full((n, 2), 1.6, np.float32), np.full((n, 1), 1.5, np.float32),
+         rng.uniform(-0.1, 0.1, (n, 1)).astype(np.float32)], 1)
     boxes5 = boxes7[:, [0, 1, 3, 4, 6]]
-    scores = rng.rand(n).astype(np.float32)
+    scores = rng.uniform(0.5, 1.0, n).astype(np.float32)
     out = rotate_weighted_nms(
         jnp.asarray(boxes7), jnp.asarray(boxes5),
         jnp.asarray(rng.randint(0, 2, n)), jnp.asarray(np.zeros(n, np.int64)),
-        jnp.asarray(scores), jnp.asarray(rng.uniform(-1, 1, n).astype(np.float32)),
+        jnp.asarray(scores), jnp.asarray(np.full(n, 0.95, np.float32)),
         jnp.asarray(boxes7), pre_max_size=n, post_max_size=8,
         iou_threshold=0.1, row_chunk=None)
     merged, dirs, labels, out_scores, valid = map(np.asarray, out)
