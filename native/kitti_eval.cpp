@@ -144,4 +144,40 @@ void compute_statistics(
   out_n_thresh[0] = thresh_idx;
 }
 
+// Fused per-frame PR accumulation over all score thresholds — the
+// equivalent of the reference's fused_compute_statistics
+// (kitti_object_eval_python/eval.py:311-358): one library call per frame
+// instead of one per (frame, threshold), accumulating into out_pr += .
+void compute_statistics_fused(
+    const double* overlaps,
+    const double* gt_datas,
+    const double* dt_datas,
+    const int64_t* ignored_gt,
+    const int64_t* ignored_det,
+    const double* dc_bboxes,
+    int64_t num_dc,
+    int64_t metric,
+    double min_overlap,
+    const double* thresholds,
+    int64_t n_thresh,
+    int64_t compute_aos,
+    int64_t gt_size,
+    int64_t det_size,
+    double* out_pr) {  // [n_thresh, 4] tp/fp/fn/similarity, accumulated
+  int64_t tpfpfn[3];
+  double sim[1];
+  int64_t nt[1];
+  std::vector<double> scratch((size_t)(gt_size > 0 ? gt_size : 1));
+  for (int64_t t = 0; t < n_thresh; ++t) {
+    compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
+                       dc_bboxes, num_dc, metric, min_overlap, thresholds[t],
+                       1, compute_aos, gt_size, det_size, tpfpfn, sim,
+                       scratch.data(), nt);
+    out_pr[t * 4 + 0] += (double)tpfpfn[0];
+    out_pr[t * 4 + 1] += (double)tpfpfn[1];
+    out_pr[t * 4 + 2] += (double)tpfpfn[2];
+    if (compute_aos && sim[0] != -1.0) out_pr[t * 4 + 3] += sim[0];
+  }
+}
+
 }  // extern "C"

@@ -1,0 +1,280 @@
+// Host-side sparse-conv rulebook builder — the native twin of the device
+// rulebook construction in sessd_tpu/ops/sparse.py (subm_rulebook /
+// downsample_rulebook / grid_from_coords).
+//
+// Rulebooks are pure functions of the voxel coordinate set (static per
+// scene / per training batch), so building them host-side in the data path
+// removes ~75% of the device forward time (device sorts, occupancy-LUT
+// scatter/gathers and candidate-sort compactions are scalar-core bound on
+// TPU). The reference's spconv builds the same tables on GPU per call
+// (get_indice_pairs); here they ship to the device as int32 gather maps.
+//
+// Exact-parity contract with ops/sparse.py (tested in
+// tests/test_host_rulebooks.py):
+//   - ids are z-minor linear ((b*H + y)*W + x)*D + z, sorted ascending,
+//     SENTINEL(int32 max) padded to the stage capacity.
+//   - subm rulebook [cap, 27]: gather rows into the same stage (cap = miss).
+//   - downsample rulebook [cap_out, K]: rows into the previous stage
+//     (cap_in = miss), spconv output-coordinate semantics.
+//   - perm[cap0]: row permutation bringing voxelizer-order features into
+//     sorted grid order (valid-prefix input layout assumed, like the
+//     device voxelizers produce).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t kSentinel = INT32_MAX;
+
+// open-addressing hash set over ids (>= 0); insert returns true when new
+struct IdSet {
+  std::vector<int64_t> keys;
+  uint64_t mask;
+  explicit IdSet(int64_t n) {
+    uint64_t cap = 64;
+    while (cap < (uint64_t)n * 2) cap <<= 1;
+    keys.assign(cap, -1);
+    mask = cap - 1;
+  }
+  static inline uint64_t hash(int64_t k) {
+    uint64_t x = (uint64_t)k;
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL; x ^= x >> 33;
+    return x;
+  }
+  inline bool insert(int64_t k) {
+    uint64_t i = hash(k) & mask;
+    while (keys[i] != -1) {
+      if (keys[i] == k) return false;
+      i = (i + 1) & mask;
+    }
+    keys[i] = k;
+    return true;
+  }
+};
+
+struct Stage {
+  int64_t b, d, h, w;           // grid shape
+  int64_t cap;                  // row capacity (SENTINEL-padded)
+  int64_t n;                    // valid rows
+  std::vector<int64_t> ids;     // [n] sorted valid ids
+  std::vector<int32_t> bb, z, y, x;  // decomposed coords per valid row
+
+  void decompose() {
+    bb.resize(n); z.resize(n); y.resize(n); x.resize(n);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t id = ids[i];
+      z[i] = (int32_t)(id % d);
+      int64_t rest = id / d;
+      x[i] = (int32_t)(rest % w);
+      rest /= w;
+      y[i] = (int32_t)(rest % h);
+      bb[i] = (int32_t)(rest / h);
+    }
+  }
+  inline int64_t linear(int64_t bi, int64_t zi, int64_t yi, int64_t xi) const {
+    return ((bi * h + yi) * w + xi) * d + zi;
+  }
+};
+
+void write_ids(const Stage& s, int32_t* out) {
+  for (int64_t i = 0; i < s.n; ++i) out[i] = (int32_t)s.ids[i];
+  for (int64_t i = s.n; i < s.cap; ++i) out[i] = kSentinel;
+}
+
+// submanifold rulebook, kernel 3x3x3, offsets in row-major (dz, dy, dx)
+// order (ops/sparse._kernel_offsets), centered.
+//
+// For a FIXED offset the query ids (id + constant delta) are increasing over
+// the sorted rows, so each rulebook column is one cache-linear merge-join of
+// two sorted sequences — O(27 * 2N) total, no hashing (~10x faster than
+// per-query hash lookups at KITTI sizes).
+void subm_rulebook(const Stage& s, int32_t* out) {
+  const int32_t miss = (int32_t)s.cap;
+  std::fill(out, out + s.cap * 27, miss);
+  int k = 0;
+  for (int dz = -1; dz <= 1; ++dz)
+    for (int dy = -1; dy <= 1; ++dy)
+      for (int dx = -1; dx <= 1; ++dx, ++k) {
+        const int64_t delta = ((int64_t)dy * s.w + dx) * s.d + dz;
+        int64_t j = 0;
+        for (int64_t i = 0; i < s.n; ++i) {
+          int64_t nz = s.z[i] + dz, ny = s.y[i] + dy, nx = s.x[i] + dx;
+          if (nz < 0 || nz >= s.d || ny < 0 || ny >= s.h ||
+              nx < 0 || nx >= s.w) continue;
+          const int64_t q = s.ids[i] + delta;
+          while (j < s.n && s.ids[j] < q) ++j;
+          if (j >= s.n) break;
+          if (s.ids[j] == q) out[i * 27 + k] = (int32_t)j;
+        }
+      }
+}
+
+inline int64_t conv_out_dim(int64_t in, int64_t k, int64_t st, int64_t p) {
+  // Python floor division (C++ '/' truncates toward zero for negatives)
+  int64_t num = in + 2 * p - k;
+  int64_t q = num >= 0 ? num / st : -((-num + st - 1) / st);
+  return q + 1;
+}
+
+// strided sparse conv: output coordinate generation + reverse rulebook
+// (ops/sparse.downsample_rulebook semantics: first cap_out unique sorted
+// candidates kept).
+void downsample(const Stage& in, const int32_t* kernel, const int32_t* stride,
+                const int32_t* pad, Stage* out, int32_t* out_rb) {
+  const int64_t kd = kernel[0], kh = kernel[1], kw = kernel[2];
+  const int64_t sd = stride[0], sh = stride[1], sw = stride[2];
+  const int64_t pd = pad[0], ph = pad[1], pw = pad[2];
+  out->b = in.b;
+  out->d = conv_out_dim(in.d, kd, sd, pd);
+  out->h = conv_out_dim(in.h, kh, sh, ph);
+  out->w = conv_out_dim(in.w, kw, sw, pw);
+
+  // candidate output sites, deduped through an open-addressing hash set
+  // (sorting the ~27x-duplicated candidate list costs ~10x more); with a
+  // per-offset last-value filter first: consecutive sorted inputs map to
+  // the same output for a fixed offset under stride 2, so most duplicates
+  // die on one compare before touching the hash
+  IdSet seen(in.n * 2);
+  std::vector<int64_t> cand;
+  cand.reserve((size_t)in.n * 2);
+  int64_t last[512];
+  const int64_t koff_n = kd * kh * kw;
+  for (int64_t t = 0; t < koff_n && t < 512; ++t) last[t] = -1;
+  for (int64_t i = 0; i < in.n; ++i) {
+    // per-axis output candidates: o = (in + p - k_off) / s when divisible
+    int64_t ozs[8], oys[8], oxs[8];
+    int noz = 0, noy = 0, nox = 0;
+    for (int64_t ko = 0; ko < kd; ++ko) {
+      int64_t num = in.z[i] + pd - ko;
+      if (num >= 0 && num % sd == 0 && num / sd < out->d) ozs[noz++] = num / sd;
+    }
+    for (int64_t ko = 0; ko < kh; ++ko) {
+      int64_t num = in.y[i] + ph - ko;
+      if (num >= 0 && num % sh == 0 && num / sh < out->h) oys[noy++] = num / sh;
+    }
+    for (int64_t ko = 0; ko < kw; ++ko) {
+      int64_t num = in.x[i] + pw - ko;
+      if (num >= 0 && num % sw == 0 && num / sw < out->w) oxs[nox++] = num / sw;
+    }
+    int64_t t = 0;
+    for (int a = 0; a < noz; ++a)
+      for (int b = 0; b < noy; ++b)
+        for (int c = 0; c < nox; ++c, ++t) {
+          int64_t id = out->linear(in.bb[i], ozs[a], oys[b], oxs[c]);
+          if (id == last[t]) continue;
+          last[t] = id;
+          if (seen.insert(id)) cand.push_back(id);
+        }
+  }
+  std::sort(cand.begin(), cand.end());
+  out->n = std::min<int64_t>((int64_t)cand.size(), out->cap);
+  out->ids.assign(cand.begin(), cand.begin() + out->n);
+  out->decompose();
+
+  // reverse rulebook: input row feeding output o at offset k is
+  // i_axis = o*s - p + k_off. The per-axis maps are strictly increasing, so
+  // for a fixed offset the query ids are increasing over the sorted output
+  // rows -> merge-join per column, like subm_rulebook.
+  const int32_t miss = (int32_t)in.cap;
+  const int64_t kvol = kd * kh * kw;
+  std::fill(out_rb, out_rb + out->cap * kvol, miss);
+  int64_t k = 0;
+  for (int64_t dz = 0; dz < kd; ++dz)
+    for (int64_t dy = 0; dy < kh; ++dy)
+      for (int64_t dx = 0; dx < kw; ++dx, ++k) {
+        int64_t j = 0;
+        for (int64_t i = 0; i < out->n; ++i) {
+          int64_t iz = (int64_t)out->z[i] * sd - pd + dz;
+          int64_t iy = (int64_t)out->y[i] * sh - ph + dy;
+          int64_t ix = (int64_t)out->x[i] * sw - pw + dx;
+          if (iz < 0 || iz >= in.d || iy < 0 || iy >= in.h ||
+              ix < 0 || ix >= in.w) continue;
+          const int64_t q = in.linear(out->bb[i], iz, iy, ix);
+          while (j < in.n && in.ids[j] < q) ++j;
+          if (j >= in.n) break;
+          if (in.ids[j] == q) out_rb[i * kvol + k] = (int32_t)j;
+        }
+      }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Builds the full SpMiddleFHD rulebook chain for one (possibly batched)
+// coordinate set.
+//
+//   coords_bzyx [n, 4] int32 (valid rows only, voxelizer order)
+//   shape_bdhw  [4]    stage-0 grid shape
+//   caps        [5]    per-stage row capacities (already x batch)
+//   down_k/s/p  [4*3]  the four strided transitions' kernel/stride/padding
+//
+// Outputs (caller-allocated, sizes in comments):
+//   out_perm  [caps0]                  features[perm] = grid-ordered rows
+//   out_ids   [sum(caps)]              per-stage sorted SENTINEL-padded ids
+//   out_subm  [ (caps0..caps3) * 27 ]  4 submanifold rulebooks
+//   out_down  [ caps1*k1 + caps2*k2 + caps3*k3 + caps4*k4 ]
+// Returns 0 on success, -1 if n exceeds caps0.
+int64_t build_rulebooks(
+    const int32_t* coords_bzyx, int64_t n,
+    const int64_t* shape_bdhw, const int64_t* caps,
+    const int32_t* down_k, const int32_t* down_s, const int32_t* down_p,
+    int32_t* out_perm, int32_t* out_ids, int32_t* out_subm,
+    int32_t* out_down) {
+  if (n > caps[0]) return -1;
+
+  Stage s0;
+  s0.b = shape_bdhw[0]; s0.d = shape_bdhw[1];
+  s0.h = shape_bdhw[2]; s0.w = shape_bdhw[3];
+  s0.cap = caps[0];
+  s0.n = n;
+
+  // sort rows by id (stable; ids unique) -> perm + sorted ids
+  std::vector<std::pair<int64_t, int32_t>> order((size_t)n);
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* c = coords_bzyx + i * 4;
+    order[i] = {s0.linear(c[0], c[1], c[2], c[3]), (int32_t)i};
+  }
+  std::sort(order.begin(), order.end());
+  s0.ids.resize(n);
+  for (int64_t i = 0; i < n; ++i) {
+    s0.ids[i] = order[i].first;
+    out_perm[i] = order[i].second;
+  }
+  for (int64_t i = n; i < caps[0]; ++i) out_perm[i] = (int32_t)i;
+  s0.decompose();
+
+  int32_t* ids_out = out_ids;
+  int32_t* subm_out = out_subm;
+  int32_t* down_out = out_down;
+
+  Stage stages[5];
+  stages[0] = std::move(s0);
+  write_ids(stages[0], ids_out);
+  ids_out += caps[0];
+  subm_rulebook(stages[0], subm_out);
+  subm_out += caps[0] * 27;
+
+  for (int t = 0; t < 4; ++t) {
+    Stage& prev = stages[t];
+    Stage& cur = stages[t + 1];
+    cur.cap = caps[t + 1];
+    downsample(prev, down_k + t * 3, down_s + t * 3, down_p + t * 3,
+               &cur, down_out);
+    int64_t kvol = (int64_t)down_k[t * 3] * down_k[t * 3 + 1] * down_k[t * 3 + 2];
+    down_out += caps[t + 1] * kvol;
+    write_ids(cur, ids_out);
+    ids_out += caps[t + 1];
+    if (t < 3) {  // stage 4 has no submanifold convs
+      subm_rulebook(cur, subm_out);
+      subm_out += caps[t + 1] * 27;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -29,7 +29,8 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import sparse as sp
-from ..ops.pallas.wconv import windowed_conv
+from ..ops.pallas.wconv import (cols_for, fused_conv_affine_t, prep_rulebook,
+                                windowed_conv)
 from .layers import MaskedBatchNorm
 
 
@@ -71,10 +72,32 @@ class SparseConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, rulebook=None, out_mask=None, train: bool = False,
-                 dense_inputs=None):
+                 dense_inputs=None, transposed_inputs=None):
         """Sparse mode: (x [N, C], rulebook, out_mask). Dense mode:
-        dense_inputs=(x [B, D, H, W, C], occ_out [B, D', H', W', 1])."""
+        dense_inputs=(x [B, D, H, W, C], occ_out [B, D', H', W', 1]).
+        Transposed serving mode: transposed_inputs=(x_t [Cin, cols], rb_t,
+        lo, span_ok, n_in) from ops.pallas.wconv.prep_rulebook — runs the
+        fused conv+affine+ReLU+mask kernel and returns y_t [Cout, cols_out]."""
         strides, padding = self.strides, self.padding
+        if transposed_inputs is not None:
+            x_t, rb_t, lo, span_ok, n_in = transposed_inputs
+            cin = x_t.shape[0]
+            w = self._kernel(cin)
+            if self.use_norm:
+                s, b = MaskedBatchNorm(
+                    axis_name=self.axis_name, dtype=self.dtype)(
+                        jnp.zeros((1, self.features), jnp.float32), None,
+                        train, affine_only=True)
+            else:
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,), jnp.float32)
+                s = jnp.ones((self.features,), jnp.float32)
+            # fold the BN scale into the GEMM weights: y = (s*W)@g + b
+            w2t = (w.reshape(-1, self.features).T * s[:, None]).astype(self.dtype)
+            return fused_conv_affine_t(
+                x_t, rb_t, lo, span_ok, w2t, b[:, None], n_in,
+                window=self.window, relu=self.use_relu,
+                interpret=jax.default_backend() == "cpu")
         if dense_inputs is None:
             cin = x.shape[-1]
             w = self._kernel(cin).astype(self.dtype)
@@ -96,12 +119,14 @@ class SparseConvBlock(nn.Module):
             w = self._kernel(cin).astype(self.dtype)
             w5 = w.reshape(self.kernel_shape + (cin, self.features))
             # A/B-measured on v5e: native conv3d 84 ms total forward vs
-            # 109 ms with the kd-slice conv2d decomposition — keep conv3d
+            # 109 ms with the kd-slice conv2d decomposition — keep conv3d.
+            # No preferred_element_type=f32: its conv transpose rule breaks
+            # under grad with bf16 operands (cotangent dtype mismatch), and
+            # the MXU accumulates bf16 convs in f32 internally anyway.
             y = jax.lax.conv_general_dilated(
                 xd, w5, window_strides=strides,
                 padding=[(p, p) for p in padding],
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32,
             ).astype(self.dtype)
             y = y * occ_out
             b, d, h, wd, c = y.shape
@@ -168,15 +193,29 @@ class SpMiddleFHD(nn.Module):
     # rematerialize block activations in the backward pass — without it the
     # dense-stage f32 activations of a batch-4 training step overflow 16G HBM
     remat: bool = True
-    # sparse conv implementation + per-kind Pallas window sizes (downsample
-    # rulebooks have ~2x the per-block source spans of submanifold ones)
+    # sparse conv implementation + PER-STAGE Pallas window sizes. Spans are
+    # scene-density-dependent: measured on realistic ray-cast scenes the
+    # per-256-block source spans are ~765/1650/1010/610 rows for the subm
+    # rulebooks of stages 0-3 (stage 1+ grids are denser per y-row after
+    # each 2x downsample) and ~700/1780/1300/520 for the strided ones —
+    # windows must cover them or the conv silently falls back to the slow
+    # exact gather path inside lax.cond.
     conv_impl: str = "auto"
-    subm_window: int = 768
-    down_window: int = 2048
+    subm_window: int = 768      # back-compat scalar (stage-0 / tests)
+    down_window: int = 2048     # back-compat scalar
+    subm_windows: Tuple[int, ...] = (768, 2048, 1280, 768)
+    down_windows: Tuple[int, ...] = (1024, 2048, 1536, 768)
 
     @nn.compact
     def __call__(self, voxel_features, coords_bzyx, valid, batch_size: int,
-                 sparse_shape, train: bool = False):
+                 sparse_shape, train: bool = False, rulebooks=None):
+        """``rulebooks``: optional precomputed rulebook chain (host-built by
+        native/rulebook.cpp via utils.native.build_rulebooks, or any dict
+        with the same arrays): {"perm" [cap0], "ids" [5 x cap_i],
+        "subm" [4 x (cap_i, 27)], "down" [4 x (cap_i+1, K_i)]}. When given,
+        all device-side rulebook construction (sorts + occupancy-LUT
+        lookups, ~75% of the serving forward) is skipped; coords_bzyx/valid
+        are ignored. int16 rulebooks are upcast in-graph."""
         d, h, w = sparse_shape
         d3 = ((d - 1) // 2 + 1 - 1) // 2 + 1
         d4 = (d3 - 3) // 2 + 1
@@ -204,8 +243,9 @@ class SpMiddleFHD(nn.Module):
                      if self.remat else SparseConvBlock)
 
         def block(feats, kvol, kshape=(3, 3, 3), strides=(1, 1, 1),
-                  padding=(1, 1, 1), window=None):
-            m = block_cls(
+                  padding=(1, 1, 1), window=None, fused=False):
+            cls = SparseConvBlock if fused else block_cls
+            m = cls(
                 feats, kvol, self.use_norm, axis_name=self.axis_name,
                 dtype=self.dtype, kernel_shape=kshape,
                 strides=strides, padding=padding,
@@ -215,9 +255,67 @@ class SpMiddleFHD(nn.Module):
             blk[0] += 1
             return m
 
-        grid, perm = sp.grid_from_coords(coords_bzyx, valid, shape, capacity=caps[0])
+        rbs = rulebooks
+        if rbs is not None:
+            rbs = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a).astype(jnp.int32), rbs)
+            grid = sp.SparseGrid(ids=rbs["ids"][0], shape=shape)
+            perm = rbs["perm"]
+        else:
+            grid, perm = sp.grid_from_coords(coords_bzyx, valid, shape,
+                                             capacity=caps[0])
         x = voxel_features[perm]
         x = jnp.where(grid.mask[:, None], x, 0.0)
+
+        def stage_down(grid, stage, dk, ds, dp):
+            """Strided-transition grid + rulebook: precomputed or on-device."""
+            if rbs is not None:
+                out_shape = sp.downsample_out_shape(grid.shape, dk, ds, dp)
+                return (sp.SparseGrid(ids=rbs["ids"][stage], shape=out_shape),
+                        rbs["down"][stage - 1])
+            return sp.downsample_rulebook(grid, dk, ds, dp, caps[stage])
+
+        def stage_subm(grid, stage):
+            if rbs is not None:
+                return rbs["subm"][stage]
+            return sp.subm_rulebook(grid)
+
+        # fused transposed serving plan: all-sparse, Pallas fused
+        # conv+affine+ReLU kernels, features kept in [C, cols] layout across
+        # the whole backbone (2 transposes total instead of 2 per conv),
+        # rulebook prep shared across each stage's convs
+        use_fused = (not train and dfs >= 5
+                     and self.conv_impl in ("auto", "pallas", "fused")
+                     and (jax.default_backend() != "cpu"
+                          or self.conv_impl == "fused"))
+        if use_fused:
+            x_t = jnp.zeros((x.shape[-1], cols_for(caps[0])), self.dtype)
+            x_t = jax.lax.dynamic_update_slice(
+                x_t, x.T.astype(self.dtype), (0, 0))
+            for stage, (feats, n_subm, dk, ds, dp) in enumerate(plan):
+                if stage > 0:
+                    grid_new, rbd = stage_down(grid, stage, dk, ds, dp)
+                    dw = self.down_windows[stage - 1]
+                    prep = prep_rulebook(rbd, caps[stage - 1],
+                                         cols_for(caps[stage - 1]), window=dw)
+                    x_t = block(feats, int(np.prod(dk)), dk,
+                                window=dw, fused=True)(
+                        None, train=train,
+                        transposed_inputs=(x_t, *prep, caps[stage - 1]))
+                    grid = grid_new
+                if n_subm > 0:
+                    sw = self.subm_windows[stage]
+                    prep = prep_rulebook(stage_subm(grid, stage), caps[stage],
+                                         cols_for(caps[stage]), window=sw)
+                    for _ in range(n_subm):
+                        x_t = block(feats, 27, window=sw, fused=True)(
+                            None, train=train,
+                            transposed_inputs=(x_t, *prep, caps[stage]))
+            x = x_t[:, :caps[4]].T
+            dense_x = sp.to_dense(x, grid)
+            b, dd, hh, ww, c = dense_x.shape
+            return jnp.transpose(dense_x, (0, 2, 3, 4, 1)).reshape(
+                b, hh, ww, c * dd)
 
         dense_x = None
         occ = None
@@ -227,10 +325,9 @@ class SpMiddleFHD(nn.Module):
                 # stage dfs still runs sparse (densifying at the previous,
                 # larger resolution would cost a multi-GB tensor)
                 if stage <= dfs:
-                    grid_new, rbd = sp.downsample_rulebook(grid, dk, ds, dp,
-                                                           caps[stage])
+                    grid_new, rbd = stage_down(grid, stage, dk, ds, dp)
                     x = block(feats, int(np.prod(dk)), dk,
-                              window=self.down_window)(
+                              window=self.down_windows[stage - 1])(
                         x, rbd, grid_new.mask, train)
                     grid = grid_new
                 else:
@@ -245,9 +342,11 @@ class SpMiddleFHD(nn.Module):
             # submanifold convs at this resolution
             if n_subm > 0:
                 if stage < dfs:
-                    rb = sp.subm_rulebook(grid)
+                    rb = stage_subm(grid, stage)
                     for _ in range(n_subm):
-                        x = block(feats, 27)(x, rb, grid.mask, train)
+                        x = block(feats, 27,
+                                  window=self.subm_windows[stage])(
+                            x, rb, grid.mask, train)
                 else:
                     for _ in range(n_subm):
                         dense_x = block(feats, 27)(

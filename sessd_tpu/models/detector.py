@@ -32,11 +32,12 @@ class VoxelNet(nn.Module):
 
     @nn.compact
     def __call__(self, voxels, coords_bzyx, num_points, valid, batch_size: int,
-                 train: bool = False):
+                 train: bool = False, rulebooks=None):
         """Returns the list of per-task prediction dicts.
 
         voxels: [B*V, P, F]; coords_bzyx: [B*V, 4]; num_points: [B*V];
-        valid: [B*V] bool.
+        valid: [B*V] bool. ``rulebooks``: optional host-precomputed rulebook
+        chain (see SpMiddleFHD) — skips all device rulebook construction.
         """
         feats = VoxelFeatureExtractorV3(self.num_input_features, dtype=self.dtype)(
             voxels, num_points)
@@ -49,7 +50,8 @@ class VoxelNet(nn.Module):
             dense_from_stage=self.dense_from_stage,
             conv_impl=self.conv_impl,
             name="backbone",
-        )(feats, coords_bzyx, valid, batch_size, self.sparse_shape, train)
+        )(feats, coords_bzyx, valid, batch_size, self.sparse_shape, train,
+          rulebooks=rulebooks)
         bev = SSFA(axis_name=self.axis_name, dtype=self.dtype, name="neck")(bev, train)
         preds = MultiGroupHead(tasks=tuple(self.tasks), dtype=self.dtype, name="head")(bev)
         return preds

@@ -29,12 +29,21 @@ class MaskedBatchNorm(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray, train: bool,
+                 affine_only: bool = False):
+        """Normal mode: normalize x. ``affine_only`` (serving fast path):
+        create the same variables but return the folded inference affine
+        (s, b) with y = x*s + b == (x - mean)*rsqrt(var+eps)*scale + bias;
+        ``x`` is then only used for its channel count."""
         c = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if affine_only:
+            assert not train
+            s = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return s, bias - ra_mean.value * s
 
         if train:
             m = mask.astype(jnp.float32)[:, None]

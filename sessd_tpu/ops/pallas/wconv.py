@@ -187,6 +187,120 @@ def _core_bwd(window, block, interpret, res, dout_t):
 _core.defvjp(_core_fwd, _core_bwd)
 
 
+def cols_for(n_rows: int, block: int = 256) -> int:
+    """Lane-padded column count for a transposed [C, cols] feature buffer:
+    >= n_rows + 1 (zero/miss column at n_rows), block-divisible."""
+    return (n_rows + 1 + block - 1) // block * block
+
+
+def prep_rulebook(rulebook, n_in: int, cols_in: int, *,
+                  window: int, block: int = 256):
+    """One-time per-rulebook prep shared by every conv using it.
+
+    rulebook [N_out, K] (n_in = miss) -> (rb_t [K, cols_out], lo [K, nb],
+    span_ok scalar). The r2 A/B showed this XLA glue (transpose + window-lo
+    reduction) costs as much as the conv kernel itself when recomputed per
+    conv; submanifold convs at one resolution share a rulebook, so share it.
+    """
+    n_out, k = rulebook.shape
+    cols_out = cols_for(n_out, block)
+    rb = jnp.pad(rulebook, ((0, cols_out - n_out), (0, 0)),
+                 constant_values=n_in)
+    rb_t = rb.T  # [K, cols_out]
+    nb = cols_out // block
+    idx = rb_t.reshape(k, nb, block)
+    valid = idx < n_in
+    lo = jnp.min(jnp.where(valid, idx, jnp.int32(cols_in)), axis=-1)
+    hi = jnp.max(jnp.where(valid, idx, -1), axis=-1)
+    has = jnp.any(valid, axis=-1)
+    lo = jnp.where(has, lo, 0) & ~jnp.int32(127)  # 128-align down
+    span_ok = jnp.all(jnp.where(has, hi - lo < window, True))
+    lo = jnp.clip(lo, 0, max(cols_in - window, 0))
+    return rb_t, lo, span_ok
+
+
+def _fused_kernel(lo_ref, rb_ref, feat_ref, w_ref, b_ref, out_ref, g_ref, *,
+                  window, block, k, cin, relu, miss):
+    i = pl.program_id(0)
+    for kk in range(k):
+        lo = pl.multiple_of(lo_ref[kk, i], 128)
+        win = feat_ref[:, pl.ds(lo, window)]  # [Cin, W]
+        oh = _onehot(rb_ref[kk:kk + 1, :], lo, window, block, feat_ref.dtype)
+        g = jax.lax.dot_general(
+            win, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Cin, B]
+        g_ref[kk * cin:(kk + 1) * cin, :] = g.astype(g_ref.dtype)
+    out = jax.lax.dot_general(
+        w_ref[:], g_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [Cout, B]
+    out = out + b_ref[:]  # bias [Cout, 1] broadcasts over the block
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    # an output site exists iff any kernel tap hit (miss rows are all-miss);
+    # invalid/padding columns must stay exactly zero for downstream reads
+    valid = jnp.any(rb_ref[:] != miss, axis=0)  # [B]
+    out_ref[:] = jnp.where(valid[None, :], out, 0.0).astype(out_ref.dtype)
+
+
+def fused_conv_affine_t(feats_t, rb_t, lo, span_ok, w2t, bias, n_in: int, *,
+                        window: int, block: int = 256, relu: bool = True,
+                        interpret: bool = False):
+    """Fused sparse conv + affine(BN-folded) + ReLU + occupancy mask, fully in
+    the transposed [C, cols] layout (serving fast path).
+
+    feats_t [Cin, cols_in] (zero column at/beyond n_in = cols positions with
+    no voxel); rb_t/lo/span_ok from prep_rulebook; w2t [Cout, K*Cin] with the
+    BN scale pre-folded into the rows; bias [Cout, 1] f32. Returns out_t
+    [Cout, cols_out]. Exact: falls back to an XLA gather formulation inside
+    lax.cond when any window span overflows.
+    """
+    cin, cols_in = feats_t.shape
+    k, cols_out = rb_t.shape
+    cout = w2t.shape[0]
+    miss = n_in  # rulebook miss sentinel = input grid capacity; feats_t
+    # column n_in is zero, so misses gather zeros in both branches
+    window = min(window, cols_in)
+
+    def fast(_):
+        nb = cols_out // block
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((k, block), lambda i, lo_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # features, resident
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, resident
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bias, resident
+            ],
+            out_specs=pl.BlockSpec((cout, block), lambda i, lo_: (0, i),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((k * cin, block), feats_t.dtype)],
+        )
+        return pl.pallas_call(
+            functools.partial(_fused_kernel, window=window, block=block,
+                              k=k, cin=cin, relu=relu, miss=miss),
+            out_shape=jax.ShapeDtypeStruct((cout, cols_out), feats_t.dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(lo, rb_t, feats_t, w2t, bias)
+
+    def slow(_):
+        fp = feats_t.T  # [cols_in, Cin]; miss row n_in is a zero column
+        rb = rb_t.T  # [cols_out, K]
+        g = fp[rb].reshape(cols_out, k * cin)
+        out = jax.lax.dot_general(
+            g, w2t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [cols_out, Cout]
+        out = out + bias[:, 0][None, :]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        valid = jnp.any(rb != miss, axis=1)
+        return jnp.where(valid[:, None], out, 0.0).astype(feats_t.dtype).T
+
+    return jax.lax.cond(span_ok, fast, slow, None)
+
+
 def windowed_conv(features, rulebook, weights, out_mask, *,
                   window: int = 768, block: int = 256,
                   interpret: bool = False):

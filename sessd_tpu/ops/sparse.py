@@ -261,6 +261,15 @@ def _conv_out_dim(in_dim: int, k: int, s: int, p: int) -> int:
     return (in_dim + 2 * p - k) // s + 1
 
 
+def downsample_out_shape(shape, kernel, stride, padding):
+    """Static output grid shape of a strided sparse conv (B unchanged)."""
+    b, d, h, w = shape
+    return (b,
+            _conv_out_dim(d, kernel[0], stride[0], padding[0]),
+            _conv_out_dim(h, kernel[1], stride[1], padding[1]),
+            _conv_out_dim(w, kernel[2], stride[2], padding[2]))
+
+
 def downsample_rulebook(
     grid: SparseGrid,
     kernel=(3, 3, 3),

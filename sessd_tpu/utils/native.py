@@ -54,6 +54,40 @@ class _Native:
             ctypes.POINTER(ctypes.c_int32),   # out_coords
             ctypes.POINTER(ctypes.c_int32),   # out_num_points
         ]
+        rb = lib.build_rulebooks
+        rb.restype = ctypes.c_int64
+        rb.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),   # coords_bzyx
+            ctypes.c_int64,                   # n valid
+            ctypes.POINTER(ctypes.c_int64),   # shape_bdhw
+            ctypes.POINTER(ctypes.c_int64),   # caps [5]
+            ctypes.POINTER(ctypes.c_int32),   # down kernels [4*3]
+            ctypes.POINTER(ctypes.c_int32),   # down strides [4*3]
+            ctypes.POINTER(ctypes.c_int32),   # down pads [4*3]
+            ctypes.POINTER(ctypes.c_int32),   # out_perm
+            ctypes.POINTER(ctypes.c_int32),   # out_ids
+            ctypes.POINTER(ctypes.c_int32),   # out_subm
+            ctypes.POINTER(ctypes.c_int32),   # out_down
+        ]
+        ff = lib.compute_statistics_fused
+        ff.restype = None
+        ff.argtypes = [
+            ctypes.POINTER(ctypes.c_double),  # overlaps
+            ctypes.POINTER(ctypes.c_double),  # gt_datas
+            ctypes.POINTER(ctypes.c_double),  # dt_datas
+            ctypes.POINTER(ctypes.c_int64),   # ignored_gt
+            ctypes.POINTER(ctypes.c_int64),   # ignored_det
+            ctypes.POINTER(ctypes.c_double),  # dc_bboxes
+            ctypes.c_int64,                   # num_dc
+            ctypes.c_int64,                   # metric
+            ctypes.c_double,                  # min_overlap
+            ctypes.POINTER(ctypes.c_double),  # thresholds
+            ctypes.c_int64,                   # n_thresh
+            ctypes.c_int64,                   # compute_aos
+            ctypes.c_int64,                   # gt_size
+            ctypes.c_int64,                   # det_size
+            ctypes.POINTER(ctypes.c_double),  # out_pr [n_thresh, 4] (+=)
+        ]
         f = lib.compute_statistics
         f.restype = None
         f.argtypes = [
@@ -99,6 +133,101 @@ class _Native:
             ptr(out_np, ctypes.c_int32),
         )
         return out_voxels[:nv], out_coords[:nv], out_np[:nv]
+
+    def build_rulebooks(self, coords_bzyx, valid, shape_bdhw, caps, downs):
+        """Host twin of the device SpMiddleFHD rulebook chain (ops/sparse.py).
+
+        coords_bzyx [cap0, 4] int32 (+ valid [cap0] bool, any layout);
+        shape_bdhw: stage-0 (B, D, H, W); caps: 5 per-stage row capacities;
+        downs: 4 (kernel, stride, pad) int-triple tuples.
+        Returns dict(perm [cap0], ids (5 arrays), subm (4 arrays [cap, 27]),
+        down (4 arrays [cap, K])) matching the device arrays exactly.
+        """
+        coords_bzyx = np.ascontiguousarray(coords_bzyx, np.int32)
+        valid = np.asarray(valid, bool)
+        caps = np.asarray(caps, np.int64)
+        assert coords_bzyx.shape[0] <= caps[0]
+        if coords_bzyx.shape[0] < caps[0]:  # pad like the device capacity
+            pad = int(caps[0]) - coords_bzyx.shape[0]
+            coords_bzyx = np.concatenate(
+                [coords_bzyx, np.zeros((pad, 4), np.int32)])
+            valid = np.concatenate([valid, np.zeros((pad,), bool)])
+        vrows = np.flatnonzero(valid)
+        ivrows = np.flatnonzero(~valid)
+        comp = np.ascontiguousarray(coords_bzyx[vrows])
+        n = comp.shape[0]
+        shape = np.asarray(shape_bdhw, np.int64)
+        dk = np.ascontiguousarray([k for k, _, _ in downs], np.int32)
+        ds = np.ascontiguousarray([s for _, s, _ in downs], np.int32)
+        dp = np.ascontiguousarray([p for _, _, p in downs], np.int32)
+        kvols = [int(np.prod(k)) for k, _, _ in downs]
+        # np.empty: the C++ fills every output element (misses included)
+        perm = np.empty(int(caps[0]), np.int32)
+        ids = np.empty(int(caps.sum()), np.int32)
+        subm = np.empty(int(sum(caps[i] * 27 for i in range(4))), np.int32)
+        down = np.empty(int(sum(caps[i + 1] * kvols[i] for i in range(4))),
+                        np.int32)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        rc = self._lib.build_rulebooks(
+            ptr(comp, ctypes.c_int32), n, ptr(shape, ctypes.c_int64),
+            ptr(caps, ctypes.c_int64), ptr(dk, ctypes.c_int32),
+            ptr(ds, ctypes.c_int32), ptr(dp, ctypes.c_int32),
+            ptr(perm, ctypes.c_int32), ptr(ids, ctypes.c_int32),
+            ptr(subm, ctypes.c_int32), ptr(down, ctypes.c_int32))
+        if rc != 0:
+            raise ValueError(f"build_rulebooks failed: rc={rc}")
+        # un-compact the permutation: C++ permutes valid rows; the device
+        # perm sorts the full padded array (stable, SENTINEL ids last)
+        full_perm = np.concatenate(
+            [vrows[perm[:n]], ivrows]).astype(np.int32)
+        out = {"perm": full_perm, "ids": [], "subm": [], "down": []}
+        o = 0
+        for c in caps:
+            out["ids"].append(ids[o:o + int(c)])
+            o += int(c)
+        o = 0
+        for i in range(4):
+            out["subm"].append(subm[o:o + int(caps[i]) * 27]
+                               .reshape(int(caps[i]), 27))
+            o += int(caps[i]) * 27
+        o = 0
+        for i in range(4):
+            out["down"].append(down[o:o + int(caps[i + 1]) * kvols[i]]
+                               .reshape(int(caps[i + 1]), kvols[i]))
+            o += int(caps[i + 1]) * kvols[i]
+        return out
+
+    def compute_statistics_fused(self, overlaps, gt_datas, dt_datas,
+                                 ignored_gt, ignored_det, dc_bboxes, metric,
+                                 min_overlap, thresholds, pr,
+                                 compute_aos=False):
+        """Accumulate one frame's tp/fp/fn/similarity into pr [n_thresh, 4]
+        for ALL thresholds in one call (fused_compute_statistics twin)."""
+        overlaps = np.ascontiguousarray(overlaps, dtype=np.float64)
+        gt_datas = np.ascontiguousarray(gt_datas, dtype=np.float64)
+        dt_datas = np.ascontiguousarray(dt_datas, dtype=np.float64)
+        ignored_gt = np.ascontiguousarray(ignored_gt, dtype=np.int64)
+        ignored_det = np.ascontiguousarray(ignored_det, dtype=np.int64)
+        dc_bboxes = np.ascontiguousarray(dc_bboxes, dtype=np.float64)
+        thresholds = np.ascontiguousarray(thresholds, dtype=np.float64)
+        assert pr.dtype == np.float64 and pr.flags.c_contiguous
+        assert pr.shape == (thresholds.shape[0], 4)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        self._lib.compute_statistics_fused(
+            ptr(overlaps, ctypes.c_double), ptr(gt_datas, ctypes.c_double),
+            ptr(dt_datas, ctypes.c_double), ptr(ignored_gt, ctypes.c_int64),
+            ptr(ignored_det, ctypes.c_int64), ptr(dc_bboxes, ctypes.c_double),
+            dc_bboxes.shape[0], metric, min_overlap,
+            ptr(thresholds, ctypes.c_double), thresholds.shape[0],
+            int(compute_aos), gt_datas.shape[0], dt_datas.shape[0],
+            ptr(pr, ctypes.c_double),
+        )
 
     def compute_statistics(self, overlaps, gt_datas, dt_datas, ignored_gt,
                            ignored_det, dc_bboxes, metric, min_overlap,

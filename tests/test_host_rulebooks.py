@@ -1,0 +1,92 @@
+"""Host (C++) rulebook builder vs the device (ops/sparse.py) chain: exact
+array equality for ids, perm, submanifold and downsample rulebooks."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sessd_tpu.ops import sparse as sp
+from sessd_tpu.utils.native import get_native
+
+DOWNS = [
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+    ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+    ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+]
+
+
+def _device_chain(coords, valid, shape, caps):
+    grid, perm = sp.grid_from_coords(jnp.asarray(coords), jnp.asarray(valid),
+                                     shape, caps[0])
+    out = {"perm": np.asarray(perm), "ids": [np.asarray(grid.ids)],
+           "subm": [np.asarray(sp.subm_rulebook(grid))], "down": []}
+    for i, (dk, dstr, dp) in enumerate(DOWNS):
+        grid, rbd = sp.downsample_rulebook(grid, dk, dstr, dp, caps[i + 1])
+        out["ids"].append(np.asarray(grid.ids))
+        out["down"].append(np.asarray(rbd))
+        if i < 3:
+            out["subm"].append(np.asarray(sp.subm_rulebook(grid)))
+    return out
+
+
+def _coords(rng, n, shape, batch=1):
+    b, d, h, w = shape
+    seen = set()
+    rows = []
+    while len(rows) < n:
+        c = (rng.randint(batch), rng.randint(d), rng.randint(h), rng.randint(w))
+        if c not in seen:
+            seen.add(c)
+            rows.append(c)
+    return np.asarray(rows, np.int32)
+
+
+@pytest.mark.parametrize("batch,cap_slack", [(1, 30), (2, 30), (1, 0)])
+def test_host_rulebooks_match_device(batch, cap_slack):
+    native = get_native()
+    if native is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(0)
+    shape = (batch, 21, 160, 144)  # small but deep enough for 4 downsamples
+    n = 600 * batch
+    caps = [n + cap_slack, n + cap_slack, n, n // 2 + 40, n // 4 + 20]
+    coords = _coords(rng, n, shape, batch)
+    # per-sample valid-prefix layout like the batched pipelines produce:
+    # pad each sample's block to cap0/batch with invalid rows
+    per = caps[0] // batch
+    full = np.zeros((caps[0], 4), np.int32)
+    valid = np.zeros((caps[0],), bool)
+    for bi in range(batch):
+        rows = coords[coords[:, 0] == bi]
+        full[bi * per: bi * per + len(rows)] = rows
+        valid[bi * per: bi * per + len(rows)] = True
+
+    dev = _device_chain(full, valid, shape, caps)
+    host = native.build_rulebooks(full, valid, shape, caps, DOWNS)
+
+    np.testing.assert_array_equal(host["perm"], dev["perm"])
+    for i in range(5):
+        np.testing.assert_array_equal(host["ids"][i], dev["ids"][i], err_msg=f"ids[{i}]")
+    for i in range(4):
+        np.testing.assert_array_equal(host["subm"][i], dev["subm"][i], err_msg=f"subm[{i}]")
+        np.testing.assert_array_equal(host["down"][i], dev["down"][i], err_msg=f"down[{i}]")
+
+
+def test_host_rulebooks_downsample_truncation():
+    """When unique downsample outputs exceed capacity, the smallest ids are
+    kept — identical to the device compaction."""
+    native = get_native()
+    if native is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(1)
+    shape = (1, 21, 64, 64)
+    n = 400
+    caps = [n, 150, 80, 40, 20]  # tight: forces truncation at every stage
+    coords = _coords(rng, n, shape)
+    valid = np.ones((n,), bool)
+    dev = _device_chain(coords, valid, shape, caps)
+    host = native.build_rulebooks(coords, valid, shape, caps, DOWNS)
+    for i in range(5):
+        np.testing.assert_array_equal(host["ids"][i], dev["ids"][i], err_msg=f"ids[{i}]")
+    for i in range(4):
+        np.testing.assert_array_equal(host["down"][i], dev["down"][i], err_msg=f"down[{i}]")
