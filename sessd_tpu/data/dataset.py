@@ -53,6 +53,18 @@ class KittiDataset:
     def anchors(self) -> np.ndarray:
         return self.pipeline.anchors
 
+    @property
+    def group_flags(self) -> np.ndarray:
+        """Image aspect-ratio group per sample (custom.py:161-170: flag 1
+        when w/h > 1). Feeds the loader's group-aware batching; samples
+        without image info land in group 0."""
+        flags = np.zeros(len(self.infos), np.int64)
+        for i, info in enumerate(self.infos):
+            shape = info.get("image", {}).get("image_shape")
+            if shape is not None and shape[1] / max(shape[0], 1) > 1:
+                flags[i] = 1
+        return flags
+
     # ------------------------------------------------------------------
     # evaluation
     # ------------------------------------------------------------------
@@ -63,12 +75,15 @@ class KittiDataset:
             return None
         return [info["annos"] for info in self.infos]
 
-    def convert_detection_to_kitti_annos(self, detections):
-        """detections: list (aligned with infos) of dicts with numpy
-        ``box3d_lidar`` [D, 7] (gravity-center), ``scores`` [D],
-        ``label_preds`` [D]."""
+    def convert_detection_to_kitti_annos(self, detections, indices=None):
+        """detections: list (aligned with infos, or with ``indices`` for a
+        partial hand-picked evaluation like the reference's partial=True,
+        kitti.py:141-167) of dicts with numpy ``box3d_lidar`` [D, 7]
+        (gravity-center), ``scores`` [D], ``label_preds`` [D]."""
+        infos = (self.infos if indices is None
+                 else [self.infos[int(i)] for i in indices])
         annos = []
-        for det, info in zip(detections, self.infos):
+        for det, info in zip(detections, infos):
             calib = info["calib"]
             rect, trv2c, p2 = calib["R0_rect"], calib["Tr_velo_to_cam"], calib["P2"]
             boxes = np.asarray(det["box3d_lidar"], dtype=np.float64).copy()

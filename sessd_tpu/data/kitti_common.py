@@ -275,3 +275,26 @@ def create_groundtruth_database(
     with open(dbinfo_path, "wb") as f:
         pickle.dump(all_db_infos, f)
     return all_db_infos
+
+
+def annos_to_kitti_label(annos: dict) -> list:
+    """KITTI label-file lines from a detection-anno dict
+    (kitti_common.py:661-730 kitti_result_line/annos_to_kitti_label):
+    ``name trunc occl alpha bbox(4) h w l x y z ry score`` — dimensions are
+    stored (l, h, w) camera-frame and written h w l."""
+    lines = []
+    for i in range(len(annos["name"])):
+        d = annos["dimensions"][i]
+        vals = (
+            [str(annos["name"][i]),
+             f"{float(annos['truncated'][i]):.4f}",
+             str(int(annos["occluded"][i])),
+             f"{float(annos['alpha'][i]):.4f}"]
+            + [f"{v:.4f}" for v in annos["bbox"][i]]
+            + [f"{v:.4f}" for v in (d[1], d[2], d[0])]
+            + [f"{v:.4f}" for v in annos["location"][i]]
+            + [f"{float(annos['rotation_y'][i]):.4f}",
+               f"{float(annos['score'][i]):.4f}"]
+        )
+        lines.append(" ".join(vals))
+    return lines

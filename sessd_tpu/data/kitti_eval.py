@@ -271,16 +271,25 @@ def eval_class(gt_annos, dt_annos, current_class: str, difficulty: int,
     thresholds = get_thresholds(np.array(all_scores), total_num_valid_gt)
 
     pr = np.zeros((len(thresholds), 4))
-    for overlaps, gt_datas, dt_datas, ig, idt, dc in frames:
-        for t, th in enumerate(thresholds):
-            tp, fp, fn, sim, _ = kernel(overlaps, gt_datas, dt_datas, ig, idt,
-                                        dc, metric, min_overlap, float(th),
-                                        True, compute_aos)
-            pr[t, 0] += tp
-            pr[t, 1] += fp
-            pr[t, 2] += fn
-            if compute_aos and sim != -1:
-                pr[t, 3] += sim
+    native = get_native()
+    if native is not None:
+        # fused kernel: one library call per frame covering all 41
+        # thresholds (fused_compute_statistics equivalent, eval.py:311-358)
+        for overlaps, gt_datas, dt_datas, ig, idt, dc in frames:
+            native.compute_statistics_fused(
+                overlaps, gt_datas, dt_datas, ig, idt, dc, metric,
+                min_overlap, thresholds, pr, compute_aos)
+    else:
+        for overlaps, gt_datas, dt_datas, ig, idt, dc in frames:
+            for t, th in enumerate(thresholds):
+                tp, fp, fn, sim, _ = kernel(overlaps, gt_datas, dt_datas, ig,
+                                            idt, dc, metric, min_overlap,
+                                            float(th), True, compute_aos)
+                pr[t, 0] += tp
+                pr[t, 1] += fp
+                pr[t, 2] += fn
+                if compute_aos and sim != -1:
+                    pr[t, 3] += sim
 
     precision = np.zeros(N_SAMPLE_PTS)
     aos = np.zeros(N_SAMPLE_PTS)

@@ -42,6 +42,7 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        group_flags: Optional[np.ndarray] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,6 +54,14 @@ class DataLoader:
         self.shard_index = shard_index
         self.prefetch = prefetch
         self.epoch = 0
+        # group-aware batching (GroupSampler / DistributedGroupSampler,
+        # det3d/datasets/loader/sampler.py:98-222): every batch is composed
+        # of samples from one group (KITTI: image aspect-ratio flag); flags
+        # default to the dataset's group_flags attribute when present
+        if group_flags is None:
+            group_flags = getattr(dataset, "group_flags", None)
+        self.group_flags = (np.asarray(group_flags)
+                            if group_flags is not None else None)
 
     def set_epoch(self, epoch: int):
         """Epoch-seeded reshuffle (the DistSamplerSeedHook equivalent)."""
@@ -60,18 +69,48 @@ class DataLoader:
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
-        if self.shuffle:
-            rng = np.random.RandomState(self.seed + self.epoch)
+        rng = np.random.RandomState(self.seed + self.epoch)
+        if self.group_flags is not None and self.shuffle:
+            # per-group shuffle; each group padded (wrapping) to a multiple
+            # of batch_size so batches never mix groups; batch order is then
+            # globally permuted — exact GroupSampler epoch semantics with a
+            # deterministic epoch seed
+            bs = self.batch_size
+            chunks = []
+            for g in np.unique(self.group_flags):
+                gi = np.flatnonzero(self.group_flags == g)
+                gi = gi[rng.permutation(len(gi))]
+                extra = -len(gi) % bs
+                if extra:
+                    gi = np.concatenate([gi, gi[:extra]])
+                chunks.extend(gi[i * bs:(i + 1) * bs]
+                              for i in range(len(gi) // bs))
+            order = rng.permutation(len(chunks))
+            idx = np.concatenate([chunks[i] for i in order])
+        elif self.shuffle:
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
-        # pad so every shard sees the same number of samples
-        per_shard = -(-n // self.num_shards)
         if self.num_shards > 1:
-            pad = per_shard * self.num_shards - n
-            if pad:
-                idx = np.concatenate([idx, idx[:pad]])
-            idx = idx[self.shard_index :: self.num_shards]
+            if self.group_flags is not None and self.shuffle:
+                # shard whole batches (round-robin, padded by wrapping) so
+                # every shard keeps group-pure batches
+                bs = self.batch_size
+                nb = len(idx) // bs
+                bi = np.arange(nb)
+                extra = -nb % self.num_shards
+                if extra:
+                    bi = np.concatenate([bi, bi[:extra]])
+                bi = bi[self.shard_index::self.num_shards]
+                idx = np.concatenate(
+                    [idx[b * bs:(b + 1) * bs] for b in bi])
+            else:
+                # pad so every shard sees the same number of samples
+                per_shard = -(-len(idx) // self.num_shards)
+                pad = per_shard * self.num_shards - len(idx)
+                if pad:
+                    idx = np.concatenate([idx, idx[:pad]])
+                idx = idx[self.shard_index::self.num_shards]
         return idx
 
     def __len__(self):

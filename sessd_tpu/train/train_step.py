@@ -92,10 +92,11 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
         transformation: flipped/noise_rotation/noise_scale [B].
     """
 
-    def apply(params, batch_stats, inputs, batch_size):
+    def apply(params, batch_stats, inputs, batch_size, rulebooks=None):
+        kw = {} if rulebooks is None else {"rulebooks": rulebooks}
         preds, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            *inputs, batch_size, train=True, mutable=["batch_stats"],
+            *inputs, batch_size, train=True, mutable=["batch_stats"], **kw,
         )
         return preds, updates["batch_stats"]
 
@@ -103,15 +104,21 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
         b = batch["voxels"].shape[0]
         stu_inputs = _flatten_voxels(batch)
         tea_inputs = _flatten_voxels(batch, "_raw")
+        # optional loader-built (host C++) rulebook chains — they are pure
+        # functions of the batch's voxel coords, so building them in the
+        # data path removes all device-side sorts/LUT lookups from the step
+        rb_stu = batch.get("rulebooks")
+        rb_tea = batch.get("rulebooks_raw")
 
         # teacher forward (no grad; BN in batch-stats mode like
         # model_ema.train() at trainer_sessd.py:321)
         preds_tea, new_ema_stats = apply(
-            state.ema_params, state.ema_batch_stats, tea_inputs, b)
+            state.ema_params, state.ema_batch_stats, tea_inputs, b, rb_tea)
         preds_tea = jax.lax.stop_gradient(preds_tea)
 
         def loss_fn(params):
-            preds_stu, new_stats = apply(params, state.batch_stats, stu_inputs, b)
+            preds_stu, new_stats = apply(params, state.batch_stats,
+                                         stu_inputs, b, rb_stu)
             sup_loss, metrics = detection_loss(preds_stu[0], batch, loss_cfg)
             cons, cons_dir = consistency_loss(
                 preds_stu[0], preds_tea[0], batch["anchors"],

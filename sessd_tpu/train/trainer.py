@@ -211,6 +211,50 @@ class Trainer:
             ))
         return jax.jit(eval_fn)
 
+    def predict_samples(self, indices, use_ema: bool = False):
+        """Per-sample debug evaluation — the ``test_v2`` affordance
+        (tools/test.py:55-118): run inference on hand-picked val-set
+        indices and return the detection dicts (lidar frame), aligned with
+        ``indices``. Used by ``tools/test.py --eval_ids``."""
+        from ..data.loader import _stack_examples
+
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        params = self.state.ema_params if use_ema else self.state.params
+        stats = self.state.ema_batch_stats if use_ema else self.state.batch_stats
+        params = jax.device_get(params)
+        stats = jax.device_get(stats)
+        full_b = self.cfg.data["samples_per_gpu"]
+
+        examples = [self.val_dataset.get_sensor_data(int(i)) for i in indices]
+        detections = []
+        for off in range(0, len(examples), full_b):
+            chunk = examples[off:off + full_b]
+            batch = _stack_examples(chunk)
+            nb = batch["voxels"].shape[0]
+            if nb < full_b:
+                batch = dict(batch, **{
+                    k: np.concatenate(
+                        [batch[k], np.zeros((full_b - nb,) + batch[k].shape[1:],
+                                            batch[k].dtype)])
+                    for k in ("voxels", "coords", "num_points", "voxel_mask",
+                              "frustum")})
+            dets = self._eval_fn(
+                params, stats,
+                jnp.asarray(batch["voxels"]), jnp.asarray(batch["coords"]),
+                jnp.asarray(batch["num_points"]), jnp.asarray(batch["voxel_mask"]),
+                jnp.asarray(batch["frustum"]))
+            dets = jax.device_get(dets)
+            for i in range(nb):
+                valid = dets["valid"][i]
+                detections.append({
+                    "box3d_lidar": dets["box3d_lidar"][i][valid],
+                    "scores": dets["scores"][i][valid],
+                    "label_preds": dets["label_preds"][i][valid],
+                    "metadata": batch["metadata"][i],
+                })
+        return detections
+
     def validate(self, use_ema: bool = False, max_batches: Optional[int] = None):
         """Run the student over the val split and compute official AP
         (trainer_sessd.py:362-415 val workflow).

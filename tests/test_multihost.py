@@ -82,7 +82,9 @@ def test_two_process_training(tmp_path):
 
     logs = []
     for p in procs:
-        out, _ = p.communicate(timeout=1200)
+        # generous: two child processes recompile the whole model serially
+        # when the persistent cache is cold, and this box has ONE core
+        out, _ = p.communicate(timeout=2400)
         logs.append(out.decode(errors="replace"))
     for pid, (p, log) in enumerate(zip(procs, logs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{log[-4000:]}"

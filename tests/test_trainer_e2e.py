@@ -124,3 +124,17 @@ def test_trainer_end_to_end(tmp_path):
     trainer2.resume()
     assert trainer2.epoch == 1
     assert int(np.asarray(trainer2.state.step)) == len(trainer.train_loader)
+
+    # per-sample debug eval (test_v2 / tools/test.py --eval_ids):
+    # hand-picked indices -> detections -> KITTI label lines
+    from sessd_tpu.data.kitti_common import annos_to_kitti_label
+
+    dets = trainer2.predict_samples([0, 2])
+    assert len(dets) == 2
+    annos = trainer2.val_dataset.convert_detection_to_kitti_annos(
+        dets, indices=[0, 2])
+    for anno in annos:
+        lines = annos_to_kitti_label(anno)
+        assert len(lines) == len(anno["name"])
+        for line in lines:
+            assert len(line.split(" ")) == 16  # KITTI label format + score

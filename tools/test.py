@@ -15,6 +15,11 @@ def main():
     parser.add_argument("--use_ema", action="store_true",
                         help="evaluate the EMA teacher instead of the student")
     parser.add_argument("--out", default=None, help="pkl path for dt annos")
+    parser.add_argument("--eval_ids", type=int, nargs="+", default=None,
+                        help="hand-picked KITTI image ids: per-sample debug "
+                             "evaluation (test_v2, tools/test.py:55-118); "
+                             "writes KITTI label txts to --save_dir")
+    parser.add_argument("--save_dir", default="sample_eval_results")
     args = parser.parse_args()
 
     from sessd_tpu.config import Config
@@ -30,6 +35,27 @@ def main():
         raise SystemExit(f"no checkpoint found under {work_dir}")
     trainer.state = state
     trainer.logger.info(f"evaluating epoch {epoch} (ema={args.use_ema})")
+
+    if args.eval_ids is not None:
+        import os
+
+        from sessd_tpu.data.kitti_common import annos_to_kitti_label
+
+        ds = trainer.val_dataset
+        id_to_index = {int(info["image"]["image_idx"]): i
+                       for i, info in enumerate(ds.infos)}
+        indices = [id_to_index[i] for i in args.eval_ids]
+        dets = trainer.predict_samples(indices, use_ema=args.use_ema)
+        annos = ds.convert_detection_to_kitti_annos(dets, indices=indices)
+        os.makedirs(args.save_dir, exist_ok=True)
+        for image_id, anno in zip(args.eval_ids, annos):
+            path = os.path.join(args.save_dir, f"{image_id:06d}.txt")
+            with open(path, "w") as f:
+                f.write("\n".join(annos_to_kitti_label(anno)) + "\n")
+            trainer.logger.info(
+                f"sample {image_id}: {len(anno['name'])} detections -> {path}")
+        return
+
     results = trainer.validate(use_ema=args.use_ema)
     if args.out and results is not None:
         import pickle
