@@ -89,28 +89,59 @@ void write_ids(const Stage& s, int32_t* out) {
 // order (ops/sparse._kernel_offsets), centered.
 //
 // For a FIXED offset the query ids (id + constant delta) are increasing over
-// the sorted rows, so each rulebook column is one cache-linear merge-join of
-// two sorted sequences — O(27 * 2N) total, no hashing (~10x faster than
-// per-query hash lookups at KITTI sizes).
-void subm_rulebook(const Stage& s, int32_t* out) {
-  const int32_t miss = (int32_t)s.cap;
+// the sorted rows, so each rulebook column is a cache-linear merge-join of
+// two sorted sequences — no hashing (~10x faster than per-query hash
+// lookups at KITTI sizes). Three further exact savings:
+//   - the center column is the identity;
+//   - a match (i -> j) at offset k implies the match (j -> i) at the
+//     mirrored offset 26-k (j's coords minus the offset are i's, in-grid by
+//     existence);
+//   - ids are z-minor, so for fixed (dy, dx) the dz = -1/0/+1 queries are
+//     CONSECUTIVE ids — one scan resolves all three dz columns.
+// Net: 5 merge scans fill all 27 columns (4 mirrored (dy,dx) groups of
+// 3 + the (0,0) group's dz=-1/+1 pair + identity).
+template <typename T>
+void subm_rulebook(const Stage& s, T* out) {
+  const T miss = (T)s.cap;
   std::fill(out, out + s.cap * 27, miss);
-  int k = 0;
-  for (int dz = -1; dz <= 1; ++dz)
-    for (int dy = -1; dy <= 1; ++dy)
-      for (int dx = -1; dx <= 1; ++dx, ++k) {
-        const int64_t delta = ((int64_t)dy * s.w + dx) * s.d + dz;
-        int64_t j = 0;
-        for (int64_t i = 0; i < s.n; ++i) {
-          int64_t nz = s.z[i] + dz, ny = s.y[i] + dy, nx = s.x[i] + dx;
-          if (nz < 0 || nz >= s.d || ny < 0 || ny >= s.h ||
-              nx < 0 || nx >= s.w) continue;
-          const int64_t q = s.ids[i] + delta;
-          while (j < s.n && s.ids[j] < q) ++j;
-          if (j >= s.n) break;
-          if (s.ids[j] == q) out[i * 27 + k] = (int32_t)j;
+  for (int64_t i = 0; i < s.n; ++i) out[i * 27 + 13] = (T)i;
+  // (dy, dx) groups: the first 4 of the 9 in row-major order, plus (0, 0)
+  // restricted to dz = -1 (its dz = +1 is the mirror, dz = 0 the identity)
+  static const int groups[5][2] = {
+      {-1, -1}, {-1, 0}, {-1, 1}, {0, -1}, {0, 0}};
+  for (int g = 0; g < 5; ++g) {
+    const int dy = groups[g][0], dx = groups[g][1];
+    const int dzhi_cap = (g == 4) ? -1 : 1;  // (0,0): dz = -1 only
+    const int64_t delta0 = ((int64_t)dy * s.w + dx) * s.d;  // at dz = 0
+    int64_t j = 0;
+    for (int64_t i = 0; i < s.n; ++i) {
+      const int64_t ny = s.y[i] + dy, nx = s.x[i] + dx;
+      if (ny < 0 || ny >= s.h || nx < 0 || nx >= s.w) continue;
+      const int zi = s.z[i];
+      int dzlo, dzhi;
+      if (dzhi_cap < 0) {            // the (0,0) group: dz = -1 only
+        if (zi == 0) continue;
+        dzlo = dzhi = -1;
+      } else {
+        dzlo = zi > 0 ? -1 : 0;
+        dzhi = (int64_t)zi < s.d - 1 ? 1 : 0;
+      }
+      const int64_t q0 = s.ids[i] + delta0 + dzlo;
+      while (j < s.n && s.ids[j] < q0) ++j;
+      if (j >= s.n) break;
+      int64_t jj = j;
+      for (int dz = dzlo; dz <= dzhi; ++dz) {
+        const int64_t q = s.ids[i] + delta0 + dz;
+        while (jj < s.n && s.ids[jj] < q) ++jj;
+        if (jj >= s.n) break;
+        if (s.ids[jj] == q) {
+          const int k = (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1);
+          out[i * 27 + k] = (T)jj;
+          out[jj * 27 + (26 - k)] = (T)i;
         }
       }
+    }
+  }
 }
 
 inline int64_t conv_out_dim(int64_t in, int64_t k, int64_t st, int64_t p) {
@@ -123,10 +154,18 @@ inline int64_t conv_out_dim(int64_t in, int64_t k, int64_t st, int64_t p) {
 // strided sparse conv: output coordinate generation + reverse rulebook
 // (ops/sparse.downsample_rulebook semantics: first cap_out unique sorted
 // candidates kept).
-void downsample(const Stage& in, const int32_t* kernel, const int32_t* stride,
-                const int32_t* pad, Stage* out, int32_t* out_rb) {
+//
+// SD/SH/SW template the stride (0 = read at runtime): the candidate
+// generation's per-axis div/mod folds to shifts/masks for the all-stride-2
+// transitions (int64 division is ~25 cycles and sits in the hot loop).
+template <typename T, int SD, int SH, int SW>
+void downsample_t(const Stage& in, const int32_t* kernel,
+                  const int32_t* stride, const int32_t* pad, Stage* out,
+                  T* out_rb) {
   const int64_t kd = kernel[0], kh = kernel[1], kw = kernel[2];
-  const int64_t sd = stride[0], sh = stride[1], sw = stride[2];
+  const int64_t sd = SD ? SD : stride[0];
+  const int64_t sh = SH ? SH : stride[1];
+  const int64_t sw = SW ? SW : stride[2];
   const int64_t pd = pad[0], ph = pad[1], pw = pad[2];
   out->b = in.b;
   out->d = conv_out_dim(in.d, kd, sd, pd);
@@ -177,33 +216,49 @@ void downsample(const Stage& in, const int32_t* kernel, const int32_t* stride,
 
   // reverse rulebook: input row feeding output o at offset k is
   // i_axis = o*s - p + k_off. The per-axis maps are strictly increasing, so
-  // for a fixed offset the query ids are increasing over the sorted output
-  // rows -> merge-join per column, like subm_rulebook.
-  const int32_t miss = (int32_t)in.cap;
+  // for a fixed (dy, dx) the base query ids increase over the sorted output
+  // rows -> merge-join like subm_rulebook; and because ids are z-minor the
+  // kd dz-offsets query CONSECUTIVE ids, so one scan per (dy, dx) group
+  // resolves all kd columns (kh*kw scans instead of kd*kh*kw).
+  const T miss = (T)in.cap;
   const int64_t kvol = kd * kh * kw;
   std::fill(out_rb, out_rb + out->cap * kvol, miss);
-  int64_t k = 0;
-  for (int64_t dz = 0; dz < kd; ++dz)
-    for (int64_t dy = 0; dy < kh; ++dy)
-      for (int64_t dx = 0; dx < kw; ++dx, ++k) {
-        int64_t j = 0;
-        for (int64_t i = 0; i < out->n; ++i) {
-          int64_t iz = (int64_t)out->z[i] * sd - pd + dz;
-          int64_t iy = (int64_t)out->y[i] * sh - ph + dy;
-          int64_t ix = (int64_t)out->x[i] * sw - pw + dx;
-          if (iz < 0 || iz >= in.d || iy < 0 || iy >= in.h ||
-              ix < 0 || ix >= in.w) continue;
-          const int64_t q = in.linear(out->bb[i], iz, iy, ix);
-          while (j < in.n && in.ids[j] < q) ++j;
-          if (j >= in.n) break;
-          if (in.ids[j] == q) out_rb[i * kvol + k] = (int32_t)j;
+  for (int64_t dy = 0; dy < kh; ++dy)
+    for (int64_t dx = 0; dx < kw; ++dx) {
+      int64_t j = 0;
+      for (int64_t i = 0; i < out->n; ++i) {
+        const int64_t iy = (int64_t)out->y[i] * sh - ph + dy;
+        const int64_t ix = (int64_t)out->x[i] * sw - pw + dx;
+        if (iy < 0 || iy >= in.h || ix < 0 || ix >= in.w) continue;
+        const int64_t iz0 = (int64_t)out->z[i] * sd - pd;
+        const int64_t dzlo = iz0 < 0 ? -iz0 : 0;
+        const int64_t dzhi = iz0 + kd <= in.d ? kd : in.d - iz0;  // excl.
+        if (dzlo >= dzhi) continue;
+        const int64_t base = in.linear(out->bb[i], iz0, iy, ix);
+        while (j < in.n && in.ids[j] < base + dzlo) ++j;
+        if (j >= in.n) break;
+        int64_t jj = j;
+        for (int64_t dz = dzlo; dz < dzhi; ++dz) {
+          const int64_t q = base + dz;
+          while (jj < in.n && in.ids[jj] < q) ++jj;
+          if (jj >= in.n) break;
+          if (in.ids[jj] == q)
+            out_rb[i * kvol + (dz * kh + dy) * kw + dx] = (T)jj;
         }
       }
+    }
 }
 
-}  // namespace
-
-extern "C" {
+template <typename T>
+void downsample(const Stage& in, const int32_t* kernel, const int32_t* stride,
+                const int32_t* pad, Stage* out, T* out_rb) {
+  const int32_t* s = stride;
+  if (s[0] == 2 && s[1] == 2 && s[2] == 2)
+    return downsample_t<T, 2, 2, 2>(in, kernel, stride, pad, out, out_rb);
+  if (s[0] == 2 && s[1] == 1 && s[2] == 1)
+    return downsample_t<T, 2, 1, 1>(in, kernel, stride, pad, out, out_rb);
+  return downsample_t<T, 0, 0, 0>(in, kernel, stride, pad, out, out_rb);
+}
 
 // Builds the full SpMiddleFHD rulebook chain for one (possibly batched)
 // coordinate set.
@@ -219,12 +274,16 @@ extern "C" {
 //   out_subm  [ (caps0..caps3) * 27 ]  4 submanifold rulebooks
 //   out_down  [ caps1*k1 + caps2*k2 + caps3*k3 + caps4*k4 ]
 // Returns 0 on success, -1 if n exceeds caps0.
-int64_t build_rulebooks(
+//
+// T: int32_t, or int16_t when every capacity (the per-stage miss value)
+// fits — serving ships the maps over PCIe half-sized and skips the
+// numpy cast pass entirely.
+template <typename T>
+int64_t build_rulebooks_impl(
     const int32_t* coords_bzyx, int64_t n,
     const int64_t* shape_bdhw, const int64_t* caps,
     const int32_t* down_k, const int32_t* down_s, const int32_t* down_p,
-    int32_t* out_perm, int32_t* out_ids, int32_t* out_subm,
-    int32_t* out_down) {
+    T* out_perm, int32_t* out_ids, T* out_subm, T* out_down) {
   if (n > caps[0]) return -1;
 
   Stage s0;
@@ -243,14 +302,14 @@ int64_t build_rulebooks(
   s0.ids.resize(n);
   for (int64_t i = 0; i < n; ++i) {
     s0.ids[i] = order[i].first;
-    out_perm[i] = order[i].second;
+    out_perm[i] = (T)order[i].second;
   }
-  for (int64_t i = n; i < caps[0]; ++i) out_perm[i] = (int32_t)i;
+  for (int64_t i = n; i < caps[0]; ++i) out_perm[i] = (T)i;
   s0.decompose();
 
   int32_t* ids_out = out_ids;
-  int32_t* subm_out = out_subm;
-  int32_t* down_out = out_down;
+  T* subm_out = out_subm;
+  T* down_out = out_down;
 
   Stage stages[5];
   stages[0] = std::move(s0);
@@ -275,6 +334,36 @@ int64_t build_rulebooks(
     }
   }
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t build_rulebooks(
+    const int32_t* coords_bzyx, int64_t n,
+    const int64_t* shape_bdhw, const int64_t* caps,
+    const int32_t* down_k, const int32_t* down_s, const int32_t* down_p,
+    int32_t* out_perm, int32_t* out_ids, int32_t* out_subm,
+    int32_t* out_down) {
+  return build_rulebooks_impl<int32_t>(
+      coords_bzyx, n, shape_bdhw, caps, down_k, down_s, down_p,
+      out_perm, out_ids, out_subm, out_down);
+}
+
+// int16 row indices: valid only when every stage capacity (the miss
+// sentinel) is representable. Returns -2 otherwise.
+int64_t build_rulebooks_i16(
+    const int32_t* coords_bzyx, int64_t n,
+    const int64_t* shape_bdhw, const int64_t* caps,
+    const int32_t* down_k, const int32_t* down_s, const int32_t* down_p,
+    int16_t* out_perm, int32_t* out_ids, int16_t* out_subm,
+    int16_t* out_down) {
+  for (int i = 0; i < 5; ++i)
+    if (caps[i] > 32767) return -2;
+  return build_rulebooks_impl<int16_t>(
+      coords_bzyx, n, shape_bdhw, caps, down_k, down_s, down_p,
+      out_perm, out_ids, out_subm, out_down);
 }
 
 }  // extern "C"

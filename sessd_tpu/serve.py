@@ -23,15 +23,9 @@ from typing import Optional
 
 import numpy as np
 
+from .data.rulebooks import DOWNS
 from .ops.voxelize import VoxelizerSpec
 from .utils.native import get_native
-
-DOWNS = [
-    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
-    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
-    ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
-    ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
-]
 
 
 class HostPreprocessor:
@@ -63,16 +57,13 @@ class HostPreprocessor:
         valid = np.zeros((cap0,), bool)
         valid[:n] = True
         d, h, w = spec.sparse_shape
+        # capacities < 2^15: the C++ writes rulebooks/perm as int16 directly
+        # (no cast pass); ids stay int32
+        out_dtype = np.int16 if max(self.caps) < 2 ** 15 else np.int32
         rb = self.native.build_rulebooks(coords, valid, (1, d, h, w),
-                                         self.caps, DOWNS)
-        # all capacities < 2^15: rulebooks/perm ship as int16, ids stay int32
-        rb16 = {
-            "perm": rb["perm"].astype(np.int16),
-            "ids": rb["ids"],
-            "subm": [a.astype(np.int16) for a in rb["subm"]],
-            "down": [a.astype(np.int16) for a in rb["down"]],
-        }
-        return {"feats": feats, "rulebooks": rb16}
+                                         self.caps, DOWNS,
+                                         out_dtype=out_dtype)
+        return {"feats": feats, "rulebooks": rb}
 
 
 def make_infer_fn(model, variables, anchors, predict_cfg, caps):

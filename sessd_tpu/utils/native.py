@@ -69,6 +69,14 @@ class _Native:
             ctypes.POINTER(ctypes.c_int32),   # out_subm
             ctypes.POINTER(ctypes.c_int32),   # out_down
         ]
+        rb16 = lib.build_rulebooks_i16
+        rb16.restype = ctypes.c_int64
+        rb16.argtypes = rb.argtypes[:7] + [
+            ctypes.POINTER(ctypes.c_int16),   # out_perm
+            ctypes.POINTER(ctypes.c_int32),   # out_ids
+            ctypes.POINTER(ctypes.c_int16),   # out_subm
+            ctypes.POINTER(ctypes.c_int16),   # out_down
+        ]
         ff = lib.compute_statistics_fused
         ff.restype = None
         ff.argtypes = [
@@ -134,7 +142,8 @@ class _Native:
         )
         return out_voxels[:nv], out_coords[:nv], out_np[:nv]
 
-    def build_rulebooks(self, coords_bzyx, valid, shape_bdhw, caps, downs):
+    def build_rulebooks(self, coords_bzyx, valid, shape_bdhw, caps, downs,
+                        out_dtype=np.int32):
         """Host twin of the device SpMiddleFHD rulebook chain (ops/sparse.py).
 
         coords_bzyx [cap0, 4] int32 (+ valid [cap0] bool, any layout);
@@ -142,6 +151,10 @@ class _Native:
         downs: 4 (kernel, stride, pad) int-triple tuples.
         Returns dict(perm [cap0], ids (5 arrays), subm (4 arrays [cap, 27]),
         down (4 arrays [cap, K])) matching the device arrays exactly.
+
+        out_dtype=np.int16 writes perm/subm/down as int16 directly (all
+        capacities must fit; ids stay int32) — half the PCIe bytes for
+        serving with no cast pass.
         """
         coords_bzyx = np.ascontiguousarray(coords_bzyx, np.int32)
         valid = np.asarray(valid, bool)
@@ -161,28 +174,33 @@ class _Native:
         ds = np.ascontiguousarray([s for _, s, _ in downs], np.int32)
         dp = np.ascontiguousarray([p for _, _, p in downs], np.int32)
         kvols = [int(np.prod(k)) for k, _, _ in downs]
+        out_dtype = np.dtype(out_dtype)
+        ct = dict([(np.dtype(np.int32), ctypes.c_int32),
+                   (np.dtype(np.int16), ctypes.c_int16)])[out_dtype]
+        fn = (self._lib.build_rulebooks if out_dtype == np.int32
+              else self._lib.build_rulebooks_i16)
         # np.empty: the C++ fills every output element (misses included)
-        perm = np.empty(int(caps[0]), np.int32)
+        perm = np.empty(int(caps[0]), out_dtype)
         ids = np.empty(int(caps.sum()), np.int32)
-        subm = np.empty(int(sum(caps[i] * 27 for i in range(4))), np.int32)
+        subm = np.empty(int(sum(caps[i] * 27 for i in range(4))), out_dtype)
         down = np.empty(int(sum(caps[i + 1] * kvols[i] for i in range(4))),
-                        np.int32)
+                        out_dtype)
 
         def ptr(a, t):
             return a.ctypes.data_as(ctypes.POINTER(t))
 
-        rc = self._lib.build_rulebooks(
+        rc = fn(
             ptr(comp, ctypes.c_int32), n, ptr(shape, ctypes.c_int64),
             ptr(caps, ctypes.c_int64), ptr(dk, ctypes.c_int32),
             ptr(ds, ctypes.c_int32), ptr(dp, ctypes.c_int32),
-            ptr(perm, ctypes.c_int32), ptr(ids, ctypes.c_int32),
-            ptr(subm, ctypes.c_int32), ptr(down, ctypes.c_int32))
+            ptr(perm, ct), ptr(ids, ctypes.c_int32),
+            ptr(subm, ct), ptr(down, ct))
         if rc != 0:
             raise ValueError(f"build_rulebooks failed: rc={rc}")
         # un-compact the permutation: C++ permutes valid rows; the device
         # perm sorts the full padded array (stable, SENTINEL ids last)
         full_perm = np.concatenate(
-            [vrows[perm[:n]], ivrows]).astype(np.int32)
+            [vrows[perm[:n]], ivrows]).astype(out_dtype)
         out = {"perm": full_perm, "ids": [], "subm": [], "down": []}
         o = 0
         for c in caps:

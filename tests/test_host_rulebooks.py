@@ -90,3 +90,27 @@ def test_host_rulebooks_downsample_truncation():
         np.testing.assert_array_equal(host["ids"][i], dev["ids"][i], err_msg=f"ids[{i}]")
     for i in range(4):
         np.testing.assert_array_equal(host["down"][i], dev["down"][i], err_msg=f"down[{i}]")
+
+
+def test_host_rulebooks_int16_matches_int32():
+    """out_dtype=int16 (direct C++ int16 writes, serving path) is value-
+    identical to the int32 chain."""
+    native = get_native()
+    if native is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(3)
+    shape = (1, 41, 64, 64)
+    caps = [400, 420, 380, 300, 200]
+    coords = _coords(rng, 400, shape)
+    valid = np.ones((400,), bool)
+    rb32 = native.build_rulebooks(coords, valid, shape, caps, DOWNS)
+    rb16 = native.build_rulebooks(coords, valid, shape, caps, DOWNS,
+                                  out_dtype=np.int16)
+    assert rb16["perm"].dtype == np.int16
+    np.testing.assert_array_equal(rb16["perm"], rb32["perm"])
+    for a, b in zip(rb16["ids"], rb32["ids"]):
+        np.testing.assert_array_equal(a, b)
+    for key in ("subm", "down"):
+        for a, b in zip(rb16[key], rb32[key]):
+            assert a.dtype == np.int16
+            np.testing.assert_array_equal(a, b)
