@@ -20,7 +20,9 @@ from .models import PointPillars, VoxelNet
 from .models.predict import PredictConfig
 from .ops.voxelize import VoxelizerSpec
 from .train.losses import ConsistencyConfig, LossConfig
-from .train.optim import OneCycleConfig, build_optimizer
+from .train.optim import (OneCycleConfig, build_legacy_schedule,
+                          build_optimizer, build_optimizer_with_schedule,
+                          one_cycle_lr)
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
@@ -147,18 +149,35 @@ def build_dataloader(cfg, dataset, shuffle: bool, seed: int = 0,
 
 
 def build_optimizer_from_cfg(cfg, steps_per_epoch: int):
+    """Returns (optax optimizer, lr_fn(step) -> lr for logging).
+
+    ``lr_config.type``: "one_cycle" (the SE-SSD/CIA-SSD recipe) or a legacy
+    LrUpdaterHook policy — fixed/step/exp/poly/cosine (+ warmup) — per
+    SURVEY §2 P11 (det3d/torchie/trainer/hooks/lr_updater.py)."""
     lr = cfg.lr_config
     total = cfg.total_epochs * steps_per_epoch
-    ocfg = OneCycleConfig(
-        lr_max=lr["lr_max"],
-        moms=tuple(lr["moms"]),
-        div_factor=lr["div_factor"],
-        pct_start=lr["pct_start"],
-        total_steps=total,
-        wd=cfg.optimizer.get("wd", 0.01),
-        grad_clip_norm=cfg.optimizer_config["grad_clip"]["max_norm"],
-    )
-    return build_optimizer(ocfg), ocfg
+    wd = cfg.optimizer.get("wd", 0.01)
+    clip = cfg.optimizer_config["grad_clip"]["max_norm"]
+    policy = lr.get("type", lr.get("policy", "one_cycle"))
+    if policy == "one_cycle":
+        ocfg = OneCycleConfig(
+            lr_max=lr["lr_max"],
+            moms=tuple(lr["moms"]),
+            div_factor=lr["div_factor"],
+            pct_start=lr["pct_start"],
+            total_steps=total,
+            wd=wd,
+            grad_clip_norm=clip,
+        )
+        return build_optimizer(ocfg), one_cycle_lr(ocfg)
+    lr_fn = build_legacy_schedule(
+        policy, lr.get("lr", cfg.optimizer.get("lr", 3e-3)), steps_per_epoch,
+        total, gamma=lr.get("gamma", 0.1), milestones=lr.get("step", ()),
+        power=lr.get("power", 1.0), min_lr=lr.get("min_lr", 0.0),
+        warmup=lr.get("warmup"), warmup_iters=lr.get("warmup_iters", 500),
+        warmup_ratio=lr.get("warmup_ratio", 1.0 / 3.0))
+    opt = build_optimizer_with_schedule(lr_fn, wd=wd, grad_clip_norm=clip)
+    return opt, lr_fn
 
 
 def build_loss_config(cfg) -> LossConfig:

@@ -43,6 +43,7 @@ class DataLoader:
         shard_index: int = 0,
         prefetch: int = 2,
         group_flags: Optional[np.ndarray] = None,
+        batch_transform=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,6 +54,10 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        # optional whole-batch post-processing run in the prefetch path
+        # (e.g. data.rulebooks.make_train_rulebook_transform: host C++
+        # sparse-conv rulebooks, so the device step does no construction)
+        self.batch_transform = batch_transform
         self.epoch = 0
         # group-aware batching (GroupSampler / DistributedGroupSampler,
         # det3d/datasets/loader/sampler.py:98-222): every batch is composed
@@ -130,6 +135,12 @@ class DataLoader:
                 (self.seed * 1_000_003 + self.epoch * 131_071 + int(idx)) % (2 ** 31))
             return self.dataset.get_sensor_data(int(idx), rng=rng)
 
+        def assemble(futs):
+            batch = _stack_examples([f.result() for f in futs])
+            if self.batch_transform is not None:
+                batch = self.batch_transform(batch)
+            return batch
+
         with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
             pending = []
             it = iter(batches)
@@ -139,13 +150,17 @@ class DataLoader:
                     b = next(it)
                 except StopIteration:
                     return False
-                pending.append([ex.submit(load_one, (i, idx)) for i, idx in enumerate(b)])
+                futs = [ex.submit(load_one, (i, idx)) for i, idx in enumerate(b)]
+                # assembly (stack + batch_transform) also runs in the pool so
+                # it overlaps the device step; FIFO scheduling guarantees its
+                # dependencies are never queued behind it
+                pending.append(ex.submit(assemble, futs))
                 return True
 
             for _ in range(self.prefetch + 1):
                 if not submit_next():
                     break
             while pending:
-                futs = pending.pop(0)
+                fut = pending.pop(0)
                 submit_next()
-                yield _stack_examples([f.result() for f in futs])
+                yield fut.result()

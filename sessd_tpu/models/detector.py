@@ -29,6 +29,9 @@ class VoxelNet(nn.Module):
     stage_capacity: Tuple[int, ...] = (20000, 22000, 18000, 12000, 8000)
     dense_from_stage: int = 2
     conv_impl: str = "auto"
+    # rematerialize backbone blocks in backward (required for f32 batch-4 on
+    # 16G HBM; bf16 compute fits without it and steps faster)
+    backbone_remat: bool = True
 
     @nn.compact
     def __call__(self, voxels, coords_bzyx, num_points, valid, batch_size: int,
@@ -49,6 +52,7 @@ class VoxelNet(nn.Module):
             stage_capacity=self.stage_capacity,
             dense_from_stage=self.dense_from_stage,
             conv_impl=self.conv_impl,
+            remat=self.backbone_remat,
             name="backbone",
         )(feats, coords_bzyx, valid, batch_size, self.sparse_shape, train,
           rulebooks=rulebooks)

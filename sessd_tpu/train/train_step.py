@@ -78,6 +78,15 @@ def _flatten_voxels(batch, suffix=""):
     )
 
 
+def _squeeze_rulebooks(rb):
+    """Loader-built rulebooks (data/rulebooks.py) carry a leading
+    ``num_shards`` axis that shard_map reduces to 1 per device — drop it.
+    Chains without the axis (perm ndim == 1) pass through unchanged."""
+    if rb is None or rb["perm"].ndim == 1:
+        return rb
+    return jax.tree_util.tree_map(lambda a: jnp.squeeze(a, 0), rb)
+
+
 def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
                     ema_decay_cap: float = 0.999,
                     compute_teacher_metrics: bool = True,
@@ -107,8 +116,8 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
         # optional loader-built (host C++) rulebook chains — they are pure
         # functions of the batch's voxel coords, so building them in the
         # data path removes all device-side sorts/LUT lookups from the step
-        rb_stu = batch.get("rulebooks")
-        rb_tea = batch.get("rulebooks_raw")
+        rb_stu = _squeeze_rulebooks(batch.get("rulebooks"))
+        rb_tea = _squeeze_rulebooks(batch.get("rulebooks_raw"))
 
         # teacher forward (no grad; BN in batch-stats mode like
         # model_ema.train() at trainer_sessd.py:321)

@@ -58,7 +58,7 @@ class Trainer:
                                                    shuffle=False, seed=seed)
 
         steps_per_epoch = len(self.train_loader)
-        self.optimizer, self.opt_cfg = builder.build_optimizer_from_cfg(
+        self.optimizer, self.lr_fn = builder.build_optimizer_from_cfg(
             cfg, steps_per_epoch)
         self.loss_cfg = builder.build_loss_config(cfg)
         self.predict_cfg = builder.build_predict_config(cfg)
@@ -98,6 +98,19 @@ class Trainer:
         else:
             self.train_step = jax.jit(step)
 
+        # loader-built host rulebooks (data/rulebooks.py): the sparse
+        # backbone's gather maps are pure functions of the batch coords, so
+        # the C++ builder computes them in the prefetch workers and the
+        # jitted step skips all device-side sorts/LUT lookups
+        if (cfg.data.get("host_rulebooks", True)
+                and hasattr(self.model, "stage_capacity")):
+            from ..data.rulebooks import make_train_rulebook_transform
+            n_shards = (self.mesh.local_mesh.size
+                        if self.mesh is not None else 1)
+            self.train_loader.batch_transform = make_train_rulebook_transform(
+                self.model.sparse_shape, self.model.stage_capacity,
+                num_shards=n_shards)
+
         self.epoch = 0
         self.anchors_np = self.train_dataset.anchors.astype(np.float32)
         self.anchors = jnp.asarray(self.anchors_np)
@@ -132,9 +145,7 @@ class Trainer:
 
         tb = (TensorBoardLogger(f"{self.work_dir}/tb")
               if cfg.log_config.get("tensorboard", False) else None)
-        from .optim import one_cycle_lr
-
-        lr_fn = one_cycle_lr(self.opt_cfg)
+        lr_fn = self.lr_fn
         rampup = cfg.get("consistency_rampup_epochs", 15.0)
 
         while self.epoch < total_epochs:

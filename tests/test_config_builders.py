@@ -33,9 +33,14 @@ def test_config_parses_and_builds(path):
     predcfg = builder.build_predict_config(cfg)
     assert predcfg.nms_post_max_size == cfg.test_cfg["nms"]["nms_post_max_size"]
 
-    opt, ocfg = builder.build_optimizer_from_cfg(cfg, steps_per_epoch=10)
-    assert ocfg.lr_max == cfg.lr_config["lr_max"]
-    assert ocfg.total_steps == cfg.total_epochs * 10
+    opt, lr_fn = builder.build_optimizer_from_cfg(cfg, steps_per_epoch=10)
+    # one-cycle starts at lr_max / div_factor
+    import jax.numpy as jnp
+    lr0 = float(lr_fn(jnp.int32(0)))
+    assert lr0 == pytest.approx(
+        cfg.lr_config["lr_max"] / cfg.lr_config["div_factor"], rel=1e-5)
+    # schedule has decayed to ~lr_max/div/1e4 by the end of training
+    assert float(lr_fn(jnp.int32(cfg.total_epochs * 10))) < lr0
 
 
 def test_se_ssd_config_matches_reference_surface():

@@ -107,3 +107,55 @@ def test_train_step_runs_and_learns(rng):
     w2 = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
     np.testing.assert_allclose(e2, 0.5 * e1 + 0.5 * w2, atol=1e-6)
     assert int(state2.step) == 2
+
+
+def test_legacy_lr_schedules():
+    """P11 legacy LrUpdaterHook policies (lr_updater.py): fixed/step/exp/
+    poly/cosine semantics + linear warmup, built from the config surface."""
+    import jax.numpy as jnp
+    from sessd_tpu.train.optim import build_legacy_schedule
+
+    spe, total = 10, 100
+    # step: gamma^(milestones passed), epoch-granular
+    s = build_legacy_schedule("step", 1.0, spe, total, gamma=0.1,
+                              milestones=(3, 7))
+    assert float(s(jnp.int32(0))) == pytest.approx(1.0)
+    assert float(s(jnp.int32(29))) == pytest.approx(1.0)    # epoch 2
+    assert float(s(jnp.int32(30))) == pytest.approx(0.1)    # epoch 3
+    assert float(s(jnp.int32(75))) == pytest.approx(0.01)   # epoch 7
+    # exp: gamma^epoch
+    s = build_legacy_schedule("exp", 2.0, spe, total, gamma=0.5)
+    assert float(s(jnp.int32(25))) == pytest.approx(2.0 * 0.5 ** 2)
+    # poly: (1 - t)^power
+    s = build_legacy_schedule("poly", 1.0, spe, total, power=2.0)
+    assert float(s(jnp.int32(50))) == pytest.approx(0.25)
+    # cosine: annealing to min_lr
+    s = build_legacy_schedule("cosine", 1.0, spe, total, min_lr=0.1)
+    assert float(s(jnp.int32(0))) == pytest.approx(1.0)
+    assert float(s(jnp.int32(100))) == pytest.approx(0.1)
+    assert float(s(jnp.int32(50))) == pytest.approx(0.55)
+    # linear warmup ramps into the base schedule
+    s = build_legacy_schedule("fixed", 1.0, spe, total, warmup="linear",
+                              warmup_iters=10, warmup_ratio=0.1)
+    assert float(s(jnp.int32(0))) == pytest.approx(0.1)
+    assert float(s(jnp.int32(5))) == pytest.approx(0.55)
+    assert float(s(jnp.int32(10))) == pytest.approx(1.0)
+    assert float(s(jnp.int32(99))) == pytest.approx(1.0)
+
+
+def test_builder_legacy_lr_policy():
+    """lr_config.type='step' flows through build_optimizer_from_cfg."""
+    from sessd_tpu.config import Config
+    from sessd_tpu import builder
+
+    cfg = Config(dict(
+        total_epochs=10,
+        optimizer=dict(type="adam", lr=0.01, wd=0.01, amsgrad=False),
+        optimizer_config=dict(grad_clip=dict(max_norm=35)),
+        lr_config=dict(type="step", lr=0.01, step=(5,), gamma=0.1),
+    ))
+    opt, lr_fn = builder.build_optimizer_from_cfg(cfg, steps_per_epoch=10)
+    import jax.numpy as jnp
+    assert float(lr_fn(jnp.int32(0))) == pytest.approx(0.01)
+    assert float(lr_fn(jnp.int32(60))) == pytest.approx(0.001)
+    assert opt is not None
