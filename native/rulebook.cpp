@@ -172,14 +172,15 @@ void downsample_t(const Stage& in, const int32_t* kernel,
   out->h = conv_out_dim(in.h, kh, sh, ph);
   out->w = conv_out_dim(in.w, kw, sw, pw);
 
-  // candidate output sites, deduped through an open-addressing hash set
-  // (sorting the ~27x-duplicated candidate list costs ~10x more); with a
-  // per-offset last-value filter first: consecutive sorted inputs map to
-  // the same output for a fixed offset under stride 2, so most duplicates
-  // die on one compare before touching the hash
-  IdSet seen(in.n * 2);
-  std::vector<int64_t> cand;
-  cand.reserve((size_t)in.n * 2);
+  // candidate output sites, deduped through a bitmap over the OUTPUT grid
+  // (<= ~1.5 MB at KITTI stage sizes): test-and-set per candidate, then a
+  // word-skipping scan emits the unique ids ALREADY SORTED — no hash set,
+  // no candidate vector, no sort. A per-offset last-value filter kills
+  // most duplicates on one compare first (consecutive sorted inputs map
+  // to the same output for a fixed offset under stride 2).
+  const int64_t grid_total = out->b * out->d * out->h * out->w;
+  std::vector<uint64_t> bitmap((size_t)((grid_total + 63) >> 6), 0);
+  uint64_t* bm = bitmap.data();
   int64_t last[512];
   const int64_t koff_n = kd * kh * kw;
   for (int64_t t = 0; t < koff_n && t < 512; ++t) last[t] = -1;
@@ -206,12 +207,23 @@ void downsample_t(const Stage& in, const int32_t* kernel,
           int64_t id = out->linear(in.bb[i], ozs[a], oys[b], oxs[c]);
           if (id == last[t]) continue;
           last[t] = id;
-          if (seen.insert(id)) cand.push_back(id);
+          bm[id >> 6] |= (uint64_t)1 << (id & 63);
         }
   }
-  std::sort(cand.begin(), cand.end());
-  out->n = std::min<int64_t>((int64_t)cand.size(), out->cap);
-  out->ids.assign(cand.begin(), cand.begin() + out->n);
+  // ops/sparse.downsample_rulebook keeps the first cap_out sorted uniques
+  out->ids.clear();
+  out->ids.reserve(out->cap);
+  const int64_t nwords = (int64_t)bitmap.size();
+  for (int64_t w64 = 0; w64 < nwords && (int64_t)out->ids.size() < out->cap;
+       ++w64) {
+    uint64_t bits = bm[w64];
+    while (bits && (int64_t)out->ids.size() < out->cap) {
+      const int bit = __builtin_ctzll(bits);
+      out->ids.push_back((w64 << 6) + bit);
+      bits &= bits - 1;
+    }
+  }
+  out->n = (int64_t)out->ids.size();
   out->decompose();
 
   // reverse rulebook: input row feeding output o at offset k is

@@ -59,6 +59,15 @@ def main(num_frames=32, workers=int(os.environ.get("WORKERS", "4"))):
         cfg.data["workers_per_gpu"] = workers
         dataset = builder.build_dataset(cfg, "train", seed=0)
         loader = builder.build_dataloader(cfg, dataset, shuffle=True, seed=0)
+        if os.environ.get("RULEBOOKS", "1") == "1":
+            # the production loader also builds the C++ rulebook chains
+            # (student + teacher) per batch — include that cost
+            from sessd_tpu.data.rulebooks import make_train_rulebook_transform
+            model = builder.build_detector(cfg)
+            loader.batch_transform = make_train_rulebook_transform(
+                model.sparse_shape, model.stage_capacity)
+            print("rulebook transform:",
+                  "on" if loader.batch_transform else "native unavailable")
 
         # warm epoch (imports, caches)
         n = 0

@@ -47,12 +47,15 @@ def build_detector(cfg, axis_name=None):
     dtype = _DTYPES[cfg.get("precision", "float32")]
     voxelizer = build_voxelizer(cfg.voxel_generator)
     if m["type"] == "VoxelNet":
+        # bf16 halves activation HBM: the full-scale B=4 step fits without
+        # backbone remat and runs ~14% faster (measured scripts/train_ab.py)
         return VoxelNet(
             num_input_features=m["reader"].get("num_input_features", 4),
             sparse_shape=voxelizer.sparse_shape,
             tasks=tuple(dict(t) for t in m["bbox_head"]["tasks"]),
             axis_name=axis_name,
             dtype=dtype,
+            backbone_remat=cfg.get("backbone_remat", dtype == jnp.float32),
         )
     if m["type"] == "PointPillars":
         nx, ny, _ = voxelizer.grid_size

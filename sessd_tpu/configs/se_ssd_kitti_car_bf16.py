@@ -1,0 +1,15 @@
+"""SE-SSD KITTI-Car with bfloat16 compute (the reference's fp16 training
+equivalent, det3d/core/fp16/hooks.py — bf16 needs no loss scaling and, with
+half the activation HBM, the full-scale batch-4 step fits on a 16G chip
+without backbone rematerialization: 1724 -> 963 ms/step with loader-built
+host rulebooks, measured on v5e (scripts/train_ab.py)).
+
+Parameters, optimizer state and losses stay float32; only compute is bf16.
+"""
+import pathlib
+
+_base = pathlib.Path(__file__).with_name("se_ssd_kitti_car.py")
+exec(compile(_base.read_text(), str(_base), "exec"))
+
+precision = "bfloat16"
+work_dir = "work_dirs/se_ssd_bf16"

@@ -68,6 +68,9 @@ def make_train_rulebook_transform(
             assert b % num_shards == 0, (b, num_shards)
             lb = b // num_shards
             bidx = np.repeat(np.arange(lb, dtype=np.int32), v)[:, None]
+            # int16 gather maps when the per-shard capacities fit (halves
+            # the fill/transfer bytes; the backbone upcasts in-graph)
+            odt = np.int16 if max(caps) * lb < 2 ** 15 else np.int32
             shards = []
             for s in range(num_shards):
                 c = coords[s * lb:(s + 1) * lb].reshape(-1, 3)
@@ -75,7 +78,7 @@ def make_train_rulebook_transform(
                 bzyx = np.concatenate([bidx, c.astype(np.int32)], axis=1)
                 shards.append(native.build_rulebooks(
                     bzyx, m, (lb,) + tuple(sparse_shape),
-                    [cap * lb for cap in caps], list(downs)))
+                    [cap * lb for cap in caps], list(downs), out_dtype=odt))
             out["rulebooks" + suffix] = _tree_stack(shards)
         return out
 

@@ -203,8 +203,13 @@ class SpMiddleFHD(nn.Module):
     conv_impl: str = "auto"
     subm_window: int = 768      # back-compat scalar (stage-0 / tests)
     down_window: int = 2048     # back-compat scalar
-    subm_windows: Tuple[int, ...] = (768, 2048, 1280, 768)
-    down_windows: Tuple[int, ...] = (1024, 2048, 1536, 768)
+    # measured per-offset-per-block spans (exact prep_rulebook semantics,
+    # realistic ray-cast scenes): subm 765/1645/952/609 at batch 1,
+    # 767/1731/1153/609 batched x4; down 703/1774/944/520 and
+    # 730/1774/1622/538. Windows are the next 128-multiples with headroom
+    # (the old 768/1536 were 1-row from falling back at stage 0/2).
+    subm_windows: Tuple[int, ...] = (896, 2048, 1280, 768)
+    down_windows: Tuple[int, ...] = (1024, 2048, 1792, 768)
 
     @nn.compact
     def __call__(self, voxel_features, coords_bzyx, valid, batch_size: int,

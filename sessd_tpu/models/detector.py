@@ -29,6 +29,9 @@ class VoxelNet(nn.Module):
     stage_capacity: Tuple[int, ...] = (20000, 22000, 18000, 12000, 8000)
     dense_from_stage: int = 2
     conv_impl: str = "auto"
+    # per-stage Pallas window overrides (None = backbone defaults)
+    subm_windows: tuple = None
+    down_windows: tuple = None
     # rematerialize backbone blocks in backward (required for f32 batch-4 on
     # 16G HBM; bf16 compute fits without it and steps faster)
     backbone_remat: bool = True
@@ -54,6 +57,10 @@ class VoxelNet(nn.Module):
             conv_impl=self.conv_impl,
             remat=self.backbone_remat,
             name="backbone",
+            **({"subm_windows": tuple(self.subm_windows)}
+               if self.subm_windows else {}),
+            **({"down_windows": tuple(self.down_windows)}
+               if self.down_windows else {}),
         )(feats, coords_bzyx, valid, batch_size, self.sparse_shape, train,
           rulebooks=rulebooks)
         bev = SSFA(axis_name=self.axis_name, dtype=self.dtype, name="neck")(bev, train)

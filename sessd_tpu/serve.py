@@ -65,30 +65,61 @@ class HostPreprocessor:
                                          out_dtype=out_dtype)
         return {"feats": feats, "rulebooks": rb}
 
+    def batch(self, scenes) -> dict:
+        """Batched variant: one rulebook chain over the (B, D, H, W) grid
+        (throughput serving — the 17k-voxel batch-1 graph underutilizes the
+        chip; batching amortizes the fixed per-kernel cost)."""
+        spec = self.spec
+        b = len(scenes)
+        cap0 = self.caps[0]
+        feats = np.zeros((b * cap0, self.nif), np.float32)
+        coords = np.zeros((b * cap0, 4), np.int32)
+        valid = np.zeros((b * cap0,), bool)
+        for s, points in enumerate(scenes):
+            voxels, coords_zyx, num_pts = self.native.voxelize(
+                points, spec.point_cloud_range, spec.voxel_size,
+                spec.max_points, min(spec.max_voxels, cap0))
+            n = coords_zyx.shape[0]
+            o = s * cap0
+            feats[o:o + n] = (voxels[..., :self.nif].sum(1)
+                              / np.maximum(num_pts, 1)[:, None])
+            coords[o:o + n, 0] = s
+            coords[o:o + n, 1:] = coords_zyx
+            valid[o:o + n] = True
+        d, h, w = spec.sparse_shape
+        caps_b = [c * b for c in self.caps]
+        out_dtype = np.int16 if max(caps_b) < 2 ** 15 else np.int32
+        rb = self.native.build_rulebooks(coords, valid, (b, d, h, w),
+                                         caps_b, DOWNS, out_dtype=out_dtype)
+        return {"feats": feats, "rulebooks": rb}
 
-def make_infer_fn(model, variables, anchors, predict_cfg, caps):
+
+def make_infer_fn(model, variables, anchors, predict_cfg, caps,
+                  batch_size: int = 1):
     """Returns a jitted (variables, feats, rulebooks) -> detections function.
 
     The VFE is the parameter-free per-voxel mean, so host-computed features
     pass through it unchanged via voxels=feats[:, None, :], num_points=1.
     coords/valid are unused when rulebooks are supplied (grid order and
-    masks come from the shipped ids).
+    masks come from the shipped ids). batch_size > 1 consumes
+    HostPreprocessor.batch outputs; decode/NMS vmaps over the batch.
     """
     import jax
     import jax.numpy as jnp
 
     from .models.predict import predict_batch
 
-    cap0 = caps[0]
-    zero_coords = jnp.zeros((cap0, 4), jnp.int32)
-    zero_valid = jnp.zeros((cap0,), bool)
+    rows = caps[0] * batch_size
+    zero_coords = jnp.zeros((rows, 4), jnp.int32)
+    zero_valid = jnp.zeros((rows,), bool)
 
     @functools.partial(jax.jit)
     def infer(variables, feats, rulebooks):
         voxels = feats[:, None, :]
-        num_points = jnp.ones((cap0,), jnp.int32)
+        num_points = jnp.ones((rows,), jnp.int32)
         preds = model.apply(variables, voxels, zero_coords, num_points,
-                            zero_valid, 1, train=False, rulebooks=rulebooks)
+                            zero_valid, batch_size, train=False,
+                            rulebooks=rulebooks)
         dets = predict_batch(preds[0], anchors, None, predict_cfg)
         return dets["box3d_lidar"], dets["scores"], dets["valid"]
 

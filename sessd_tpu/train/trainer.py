@@ -133,6 +133,28 @@ class Trainer:
             self.logger.info(f"warm start (student+teacher) from {pretrained_dir}")
 
     # ------------------------------------------------------------------
+    def _compile_and_sync(self, db, cw):
+        """AOT-compile the train step, then (multi-host) rendezvous on the
+        coordination-service barrier BEFORE the first collective executes.
+
+        Gloo's pair connect timeout is short and not configurable; when one
+        host compiles much slower than another (cold cache, heterogeneous
+        hosts), the faster host's first psum would time out waiting for the
+        peer. The coordination barrier rides the already-established gRPC
+        channel with a long timeout, so compile-time skew is absorbed here
+        instead. (The torch reference gets this behavior from NCCL's
+        30-minute default timeout.)"""
+        self._step_compiled = True
+        if self.num_hosts <= 1:
+            return
+        self.train_step.lower(self.state, db, jnp.float32(cw)).compile()
+        from jax._src import distributed as _dist
+        client = getattr(_dist.global_state, "client", None)
+        if client is not None:
+            client.wait_at_barrier("sessd_post_compile", 3_600_000)
+        self.logger.info("all hosts compiled; starting training")
+
+    # ------------------------------------------------------------------
     def run(self):
         cfg = self.cfg
         total_epochs = cfg.total_epochs
@@ -159,6 +181,8 @@ class Trainer:
                     db = shard_batch(db, self.mesh)
                 data_time = time.time() - t_data
                 t0 = time.time()
+                if not getattr(self, "_step_compiled", False):
+                    self._compile_and_sync(db, cw)
                 self.state, metrics = self.train_step(
                     self.state, db, jnp.float32(cw))
                 metrics["loss"].block_until_ready()

@@ -16,7 +16,18 @@ import orbax.checkpoint as ocp
 def _manager(work_dir, max_to_keep=None) -> ocp.CheckpointManager:
     path = pathlib.Path(work_dir).resolve() / "checkpoints"
     path.mkdir(parents=True, exist_ok=True)
-    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
+    kw = {"create": True}
+    if jax.process_count() > 1:
+        # the Trainer saves from host 0 only (the reference's .pth-on-rank-0
+        # semantics, trainer/checkpoint.py:42-61); restrict orbax's internal
+        # barriers to that process or its directory sync hangs waiting for
+        # hosts that never call save (orbax then requires the root dir to
+        # pre-exist — the mkdir above — and create=False)
+        kw["multiprocessing_options"] = ocp.options.MultiprocessingOptions(
+            primary_host=jax.process_index(),
+            active_processes={jax.process_index()})
+        kw["create"] = False
+    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, **kw)
     return ocp.CheckpointManager(path, options=options)
 
 

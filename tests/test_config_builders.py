@@ -9,6 +9,7 @@ CONFIGS = [
     "sessd_tpu/configs/se_ssd_kitti_car.py",
     "sessd_tpu/configs/cia_ssd_kitti_car.py",
     "sessd_tpu/configs/point_pillars_kitti_car.py",
+    "sessd_tpu/configs/se_ssd_kitti_car_bf16.py",
 ]
 
 
@@ -58,3 +59,12 @@ def test_se_ssd_config_matches_reference_surface():
 
     cia = Config.fromfile(CONFIGS[1])
     assert cia.my_paras["enable_ssl"] is False
+
+
+def test_bf16_config_disables_remat():
+    cfg = Config.fromfile("sessd_tpu/configs/se_ssd_kitti_car_bf16.py")
+    import jax.numpy as jnp
+    m = builder.build_detector(cfg)
+    assert m.dtype == jnp.bfloat16 and m.backbone_remat is False
+    m32 = builder.build_detector(Config.fromfile(CONFIGS[0]))
+    assert m32.dtype == jnp.float32 and m32.backbone_remat is True

@@ -31,16 +31,29 @@ def main():
     parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
 
+    import os
+
+    import jax
+
+    # persistent compile cache: repeat runs (and the peer hosts of a
+    # multi-host job) skip the minutes-long model compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.coordinator is not None:
         # multi-host bootstrap (the jax equivalent of init_dist,
         # det3d/torchie/apis/env.py:13-51); under SLURM/GKE plain
         # jax.distributed.initialize() with no args also works
-        import jax
-
+        # long shutdown timeout: host 0 runs the (compile-heavy) eval after
+        # training while the other hosts are already waiting to exit
         jax.distributed.initialize(
             coordinator_address=args.coordinator,
             num_processes=args.num_processes,
-            process_id=args.process_id)
+            process_id=args.process_id,
+            initialization_timeout=600,
+            shutdown_timeout_seconds=3600)
 
     from sessd_tpu.config import Config
     from sessd_tpu.train.trainer import Trainer
