@@ -41,6 +41,33 @@ def _tree_stack(dicts):
     return out
 
 
+def build_batch_rulebooks(coords, mask, sparse_shape, stage_capacity,
+                          native=None, out_dtype=None, downs=None):
+    """One chain over the batched (B, D, H, W) grid from stacked loader
+    arrays: coords [B, V, 3] zyx + mask [B, V]. Returns None without the
+    native library. out_dtype default: int16 when the batched capacities
+    fit, else int32 (the backbone upcasts in-graph either way)."""
+    if native is None:
+        from ..utils.native import get_native
+
+        native = get_native()
+        if native is None:
+            return None
+    coords = np.asarray(coords)
+    mask = np.asarray(mask)
+    b, v, _ = coords.shape
+    caps = [int(c) * b for c in stage_capacity]
+    if out_dtype is None:
+        out_dtype = np.int16 if max(caps) < 2 ** 15 else np.int32
+    bidx = np.repeat(np.arange(b, dtype=np.int32), v)[:, None]
+    bzyx = np.concatenate([bidx, coords.reshape(-1, 3).astype(np.int32)],
+                          axis=1)
+    return native.build_rulebooks(bzyx, mask.reshape(-1),
+                                  (b,) + tuple(sparse_shape), caps,
+                                  list(downs if downs is not None else DOWNS),
+                                  out_dtype=out_dtype)
+
+
 def make_train_rulebook_transform(
     sparse_shape: Tuple[int, int, int],
     stage_capacity: Sequence[int],
@@ -67,18 +94,12 @@ def make_train_rulebook_transform(
             b, v, _ = coords.shape
             assert b % num_shards == 0, (b, num_shards)
             lb = b // num_shards
-            bidx = np.repeat(np.arange(lb, dtype=np.int32), v)[:, None]
-            # int16 gather maps when the per-shard capacities fit (halves
-            # the fill/transfer bytes; the backbone upcasts in-graph)
-            odt = np.int16 if max(caps) * lb < 2 ** 15 else np.int32
-            shards = []
-            for s in range(num_shards):
-                c = coords[s * lb:(s + 1) * lb].reshape(-1, 3)
-                m = mask[s * lb:(s + 1) * lb].reshape(-1)
-                bzyx = np.concatenate([bidx, c.astype(np.int32)], axis=1)
-                shards.append(native.build_rulebooks(
-                    bzyx, m, (lb,) + tuple(sparse_shape),
-                    [cap * lb for cap in caps], list(downs), out_dtype=odt))
+            shards = [
+                build_batch_rulebooks(
+                    coords[s * lb:(s + 1) * lb], mask[s * lb:(s + 1) * lb],
+                    sparse_shape, caps, native=native, downs=downs)
+                for s in range(num_shards)
+            ]
             out["rulebooks" + suffix] = _tree_stack(shards)
         return out
 

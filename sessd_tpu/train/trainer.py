@@ -115,6 +115,11 @@ class Trainer:
         self.anchors_np = self.train_dataset.anchors.astype(np.float32)
         self.anchors = jnp.asarray(self.anchors_np)
         self._eval_fn = None
+        # host rulebooks for eval batches (non-mesh path only; the sharded
+        # eval keeps in-graph construction): enables the serving plan
+        self._eval_rb = (cfg.data.get("host_rulebooks", True)
+                         and self.mesh is None
+                         and hasattr(self.model, "stage_capacity"))
 
     # ------------------------------------------------------------------
     def resume(self):
@@ -217,18 +222,25 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_eval_fn(self, use_ema: bool = False):
         model = builder.build_detector(self.cfg, axis_name=None)
+        # with host-built rulebooks the all-sparse serving plan applies
+        # (fused Pallas convs on TPU, ~7x the hybrid device-rulebook eval)
+        model_rb = (model.clone(dense_from_stage=5)
+                    if hasattr(model, "dense_from_stage") else model)
         predict_cfg = self.predict_cfg
         anchors = self.anchors
 
         def eval_fn(params, batch_stats, voxels, coords, num_points, mask,
-                    frustum):
+                    frustum, rulebooks=None):
             b, v = voxels.shape[:2]
             bi = jax.lax.broadcasted_iota(jnp.int32, (b, v, 1), 0)
             coords4 = jnp.concatenate([bi, coords], axis=-1).reshape(b * v, 4)
-            preds = model.apply(
+            m = model if rulebooks is None else model_rb
+            kw = {} if rulebooks is None else {"rulebooks": rulebooks}
+            preds = m.apply(
                 {"params": params, "batch_stats": batch_stats},
                 voxels.reshape((b * v,) + voxels.shape[2:]), coords4,
-                num_points.reshape(-1), mask.reshape(-1), b, train=False)
+                num_points.reshape(-1), mask.reshape(-1), b, train=False,
+                **kw)
             return predict_batch(preds[0], anchors, frustum, predict_cfg)
 
         if self.mesh is not None and self.num_hosts == 1:
@@ -245,6 +257,17 @@ class Trainer:
                 check_vma=False,
             ))
         return jax.jit(eval_fn)
+
+
+    def _batch_rulebooks(self, batch):
+        """Host C++ chain for a padded eval batch (None -> in-graph)."""
+        if not self._eval_rb:
+            return None
+        from ..data.rulebooks import build_batch_rulebooks
+
+        return build_batch_rulebooks(
+            batch["coords"], batch["voxel_mask"],
+            self.model.sparse_shape, self.model.stage_capacity)
 
     def predict_samples(self, indices, use_ema: bool = False):
         """Per-sample debug evaluation — the ``test_v2`` affordance
@@ -274,11 +297,14 @@ class Trainer:
                                             batch[k].dtype)])
                     for k in ("voxels", "coords", "num_points", "voxel_mask",
                               "frustum")})
-            dets = self._eval_fn(
+            args = (
                 params, stats,
                 jnp.asarray(batch["voxels"]), jnp.asarray(batch["coords"]),
                 jnp.asarray(batch["num_points"]), jnp.asarray(batch["voxel_mask"]),
                 jnp.asarray(batch["frustum"]))
+            rb = self._batch_rulebooks(batch)
+            dets = (self._eval_fn(*args) if rb is None
+                    else self._eval_fn(*args, rb))
             dets = jax.device_get(dets)
             for i in range(nb):
                 valid = dets["valid"][i]
@@ -321,11 +347,14 @@ class Trainer:
                                             batch[k].dtype)])
                     for k in ("voxels", "coords", "num_points", "voxel_mask",
                               "frustum")})
-            dets = self._eval_fn(
+            args = (
                 params, stats,
                 jnp.asarray(batch["voxels"]), jnp.asarray(batch["coords"]),
                 jnp.asarray(batch["num_points"]), jnp.asarray(batch["voxel_mask"]),
                 jnp.asarray(batch["frustum"]))
+            rb = self._batch_rulebooks(batch)
+            dets = (self._eval_fn(*args) if rb is None
+                    else self._eval_fn(*args, rb))
             dets = jax.device_get(dets)
             for i, meta in enumerate(batch["metadata"]):
                 valid = dets["valid"][i]

@@ -138,3 +138,17 @@ def test_trainer_end_to_end(tmp_path):
         assert len(lines) == len(anno["name"])
         for line in lines:
             assert len(line.split(" ")) == 16  # KITTI label format + score
+
+    # the single-process eval path (tools/test.py: distributed=False) uses
+    # host rulebooks + the all-sparse serving plan; same checkpoint must
+    # yield the same detections as the sharded in-graph-rulebook eval
+    trainer3 = Trainer(cfg, work_dir=str(work), distributed=False)
+    trainer3.resume()
+    if trainer3._eval_rb:
+        dets3 = trainer3.predict_samples([0, 2])
+        for a, b in zip(dets, dets3):
+            assert a["box3d_lidar"].shape == b["box3d_lidar"].shape
+            np.testing.assert_allclose(a["box3d_lidar"], b["box3d_lidar"],
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(a["scores"], b["scores"],
+                                       rtol=1e-4, atol=1e-5)
