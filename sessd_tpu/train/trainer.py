@@ -77,17 +77,48 @@ class Trainer:
         axis = DATA_AXIS if self.mesh is not None else None
         self.model = builder.build_detector(cfg, axis_name=axis)
         init_model = builder.build_detector(cfg, axis_name=None)
+        if hasattr(init_model, "conv_impl"):
+            # keep init off the Pallas path: the CPU backend can't run it,
+            # and the param tree is identical across execution plans
+            init_model = init_model.clone(conv_impl="gather")
 
         sample = next(iter(builder.build_dataloader(
             cfg, self.val_dataset, shuffle=False, seed=seed)))
         sample = _device_batch(sample)
-        # synthesize missing train-only keys for init
-        self.state = create_train_state(
-            init_model, self.optimizer,
-            {k: jnp.asarray(v) for k, v in sample.items()
-             if k in ("voxels", "coords", "num_points", "voxel_mask")},
-            batch_size=cfg.data["samples_per_gpu"],
-        )
+        init_batch = {k: np.asarray(v) for k, v in sample.items()
+                      if k in ("voxels", "coords", "num_points", "voxel_mask")}
+        if hasattr(init_model, "sparse_shape"):
+            # parameter shapes depend only on channel dims, never on the
+            # grid or row capacities — init against a tiny grid (seconds)
+            # instead of tracing the full-scale forward (minutes)
+            tiny = (41, 32, 32)
+            init_model = init_model.clone(sparse_shape=tiny,
+                                          stage_capacity=(128,) * 5)
+            init_batch = {
+                "voxels": init_batch["voxels"][:, :64],
+                "coords": np.minimum(init_batch["coords"][:, :64],
+                                     np.int32(tiny) - 1),
+                "num_points": init_batch["num_points"][:, :64],
+                "voxel_mask": init_batch["voxel_mask"][:, :64],
+            }
+        # init on the CPU backend: tracing/compiling model.init against a
+        # remote TPU takes minutes; the weights are then shipped once
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.local_devices()[0].platform != "cpu":
+            with jax.default_device(cpu):
+                self.state = create_train_state(
+                    init_model, self.optimizer, init_batch,
+                    batch_size=cfg.data["samples_per_gpu"])
+            self.state = jax.device_put(
+                jax.tree_util.tree_map(np.asarray, self.state),
+                jax.local_devices()[0])
+        else:
+            self.state = create_train_state(
+                init_model, self.optimizer, init_batch,
+                batch_size=cfg.data["samples_per_gpu"])
 
         step = make_train_step(self.model, self.optimizer, self.loss_cfg,
                                ema_decay_cap=cfg.get("ema_decay_cap", 0.999),
