@@ -159,3 +159,32 @@ def test_builder_legacy_lr_policy():
     assert float(lr_fn(jnp.int32(0))) == pytest.approx(0.01)
     assert float(lr_fn(jnp.int32(60))) == pytest.approx(0.001)
     assert opt is not None
+
+
+def test_tiny_grid_init_param_tree_matches_full():
+    """Trainer inits against a tiny grid (fast); parameter/batch-stats
+    trees must be identical to a full-grid init — shapes depend only on
+    channel dims, never on sparse_shape or capacities."""
+    import jax
+    from sessd_tpu.models import VoxelNet
+
+    rng = jax.random.PRNGKey(0)
+
+    def init(sparse_shape, caps, v):
+        model = VoxelNet(sparse_shape=sparse_shape, stage_capacity=caps,
+                         conv_impl="gather")
+        voxels = np.zeros((v, 5, 4), np.float32)
+        coords = np.zeros((v, 4), np.int32)
+        return model.init(rng, voxels, coords,
+                          np.ones((v,), np.int32), np.zeros((v,), bool), 1,
+                          train=False)
+
+    tiny = init((41, 32, 32), (128,) * 5, 64)
+    full = init((41, 128, 128), (600, 640, 500, 400, 300), 600)
+    ts = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), tiny)
+    fs = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), full)
+    assert jax.tree_util.tree_structure(ts) == jax.tree_util.tree_structure(fs)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ts),
+            jax.tree_util.tree_leaves_with_path(fs)):
+        assert a == b, (jax.tree_util.keystr(pa), a, b)
