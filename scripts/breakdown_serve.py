@@ -10,7 +10,9 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def main():
+def main(bsz=None):
+    import os
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -26,11 +28,13 @@ def main():
     from bench import _init_variables
 
     spec = KITTI_VOXELIZER
+    bsz = bsz if bsz is not None else int(os.environ.get("BK_BATCH", "1"))
     caps = (20000, 22000, 18000, 12000, 8000)
     model = VoxelNet(sparse_shape=spec.sparse_shape, dtype=jnp.bfloat16,
                      dense_from_stage=5)
     prep = HostPreprocessor(spec, caps)
-    p = prep(np.asarray(make_scene(seed=0)[0]))
+    scenes = [np.asarray(make_scene(seed=s_)[0]) for s_ in range(bsz)]
+    p = prep(scenes[0]) if bsz == 1 else prep.batch(scenes)
     dev = jax.devices()[0]
     feats = jax.device_put(p["feats"], dev)
     rb = jax.tree_util.tree_map(lambda a: jax.device_put(a, dev),
@@ -38,10 +42,10 @@ def main():
     anchors = jnp.asarray(create_anchors_3d_range(
         [1, 200, 176], [0, -40.0, -1.0, 70.4, 40.0, -1.0]).reshape(-1, 7))
     cfg = PredictConfig()
-    cap0 = caps[0]
+    cap0 = caps[0] * bsz
     init_args = (p["feats"][:, None, :].astype(np.float32),
                  np.zeros((cap0, 4), np.int32), np.ones((cap0,), np.int32),
-                 np.zeros((cap0,), bool), 1)
+                 np.zeros((cap0,), bool), bsz)
     variables = _init_variables(model, init_args, 5, jnp.bfloat16,
                                 spec.sparse_shape)
 
@@ -51,31 +55,16 @@ def main():
 
     def full(v, f, r):
         preds = model.apply(v, f[:, None, :], zero_coords, num_points,
-                            zero_valid, 1, train=False, rulebooks=r)
+                            zero_valid, bsz, train=False, rulebooks=r)
         dets = predict_batch(preds[0], anchors, None, cfg)
         return dets["scores"]
 
     def to_head(v, f, r):
         preds = model.apply(v, f[:, None, :], zero_coords, num_points,
-                            zero_valid, 1, train=False, rulebooks=r)
+                            zero_valid, bsz, train=False, rulebooks=r)
         return preds[0]["cls_preds"]
 
-    # backbone-only: method captures the BEV out of the backbone submodule
-    def to_bev(v, f, r):
-        def run(m, voxels, coords, npts, valid, b):
-            feats_ = m.vfe_apply(voxels, npts) if hasattr(m, "vfe_apply") else None
-            raise NotImplementedError
-
-        # use the intermediate capture API instead
-        _, mods = model.apply(
-            v, f[:, None, :], zero_coords, num_points, zero_valid, 1,
-            train=False, rulebooks=r, capture_intermediates=lambda mdl, _:
-            mdl.name == "backbone")
-        inter = mods["intermediates"]["backbone"]["__call__"][0]
-        return inter
-
-    variants = [("full (bench step)", full), ("through head", to_head),
-                ("backbone BEV", to_bev)]
+    variants = [("full (bench step)", full), ("through head", to_head)]
     for name, fn in variants:
         try:
             jf = jax.jit(fn)
@@ -87,7 +76,7 @@ def main():
                 out = jf(variables, feats, rb)
             _ = float(np.asarray(out).ravel()[0])
             dt = (time.perf_counter() - t0) / iters
-            print(f"{name:20s}: {dt*1e3:7.2f} ms")
+            print(f"b{bsz} {name:20s}: {dt*1e3:7.2f} ms")
         except Exception as e:
             print(f"{name:20s}: FAILED {str(e)[:160]}")
 
