@@ -69,6 +69,7 @@ class SparseConvBlock(nn.Module):
     # TPU inference, XLA gather elsewhere; "pallas" / "gather" force one
     conv_impl: str = "auto"
     window: int = 768
+    window_large: int = 0  # two-level fused kernel (0 = single window)
 
     @nn.compact
     def __call__(self, x, rulebook=None, out_mask=None, train: bool = False,
@@ -76,11 +77,13 @@ class SparseConvBlock(nn.Module):
         """Sparse mode: (x [N, C], rulebook, out_mask). Dense mode:
         dense_inputs=(x [B, D, H, W, C], occ_out [B, D', H', W', 1]).
         Transposed serving mode: transposed_inputs=(x_t [Cin, cols], rb_t,
-        lo, span_ok, n_in) from ops.pallas.wconv.prep_rulebook — runs the
-        fused conv+affine+ReLU+mask kernel and returns y_t [Cout, cols_out]."""
+        lo, lo_l, pb, pvalid, span_ok, n_in) from
+        ops.pallas.wconv.prep_rulebook — runs the fused
+        conv+affine+ReLU+mask kernel (+ the large-window patch kernel for
+        flagged blocks) and returns y_t [Cout, cols_out]."""
         strides, padding = self.strides, self.padding
         if transposed_inputs is not None:
-            x_t, rb_t, lo, span_ok, n_in = transposed_inputs
+            x_t, rb_t, lo, lo_l, pb, pvalid, span_ok, n_in = transposed_inputs
             cin = x_t.shape[0]
             w = self._kernel(cin)
             if self.use_norm:
@@ -95,8 +98,10 @@ class SparseConvBlock(nn.Module):
             # fold the BN scale into the GEMM weights: y = (s*W)@g + b
             w2t = (w.reshape(-1, self.features).T * s[:, None]).astype(self.dtype)
             return fused_conv_affine_t(
-                x_t, rb_t, lo, span_ok, w2t, b[:, None], n_in,
-                window=self.window, relu=self.use_relu,
+                x_t, rb_t, lo, lo_l, pb, pvalid, span_ok, w2t, b[:, None],
+                n_in, window=self.window,
+                window_large=self.window_large or None,
+                relu=self.use_relu,
                 interpret=jax.default_backend() == "cpu")
         if dense_inputs is None:
             cin = x.shape[-1]
@@ -208,8 +213,16 @@ class SpMiddleFHD(nn.Module):
     # 767/1731/1153/609 batched x4; down 703/1774/944/520 and
     # 730/1774/1622/538. Windows are the next 128-multiples with headroom
     # (the old 768/1536 were 1-row from falling back at stage 0/2).
+    # exactness bound: any block whose span exceeds the LARGE window trips
+    # the whole conv to the gather fallback
     subm_windows: Tuple[int, ...] = (896, 2048, 1280, 768)
     down_windows: Tuple[int, ...] = (1024, 2048, 1792, 768)
+    # two-level fused kernel: the common-case slice width (~p99 of the
+    # per-(offset, block) span distribution; the one-hot GEMM FLOPs scale
+    # linearly with it), with the rare long-span blocks taking the LARGE
+    # window in-kernel. 0 disables the second level.
+    subm_windows_small: Tuple[int, ...] = (512, 512, 640, 640)
+    down_windows_small: Tuple[int, ...] = (640, 1024, 1024, 512)
 
     @nn.compact
     def __call__(self, voxel_features, coords_bzyx, valid, batch_size: int,
@@ -248,7 +261,8 @@ class SpMiddleFHD(nn.Module):
                      if self.remat else SparseConvBlock)
 
         def block(feats, kvol, kshape=(3, 3, 3), strides=(1, 1, 1),
-                  padding=(1, 1, 1), window=None, fused=False):
+                  padding=(1, 1, 1), window=None, window_large=0,
+                  fused=False):
             cls = SparseConvBlock if fused else block_cls
             m = cls(
                 feats, kvol, self.use_norm, axis_name=self.axis_name,
@@ -256,6 +270,7 @@ class SpMiddleFHD(nn.Module):
                 strides=strides, padding=padding,
                 conv_impl=self.conv_impl,
                 window=window or self.subm_window,
+                window_large=window_large,
                 name=f"SparseConvBlock_{blk[0]}")
             blk[0] += 1
             return m
@@ -300,20 +315,27 @@ class SpMiddleFHD(nn.Module):
             for stage, (feats, n_subm, dk, ds, dp) in enumerate(plan):
                 if stage > 0:
                     grid_new, rbd = stage_down(grid, stage, dk, ds, dp)
-                    dw = self.down_windows[stage - 1]
+                    dwl = self.down_windows[stage - 1]
+                    dw = (min(self.down_windows_small[stage - 1], dwl)
+                          if self.down_windows_small[stage - 1] else dwl)
                     prep = prep_rulebook(rbd, caps[stage - 1],
-                                         cols_for(caps[stage - 1]), window=dw)
+                                         cols_for(caps[stage - 1]), window=dw,
+                                         window_large=dwl)
                     x_t = block(feats, int(np.prod(dk)), dk,
-                                window=dw, fused=True)(
+                                window=dw, window_large=dwl, fused=True)(
                         None, train=train,
                         transposed_inputs=(x_t, *prep, caps[stage - 1]))
                     grid = grid_new
                 if n_subm > 0:
-                    sw = self.subm_windows[stage]
+                    swl = self.subm_windows[stage]
+                    sw = (min(self.subm_windows_small[stage], swl)
+                          if self.subm_windows_small[stage] else swl)
                     prep = prep_rulebook(stage_subm(grid, stage), caps[stage],
-                                         cols_for(caps[stage]), window=sw)
+                                         cols_for(caps[stage]), window=sw,
+                                         window_large=swl)
                     for _ in range(n_subm):
-                        x_t = block(feats, 27, window=sw, fused=True)(
+                        x_t = block(feats, 27, window=sw, window_large=swl,
+                                    fused=True)(
                             None, train=train,
                             transposed_inputs=(x_t, *prep, caps[stage]))
             x = x_t[:, :caps[4]].T

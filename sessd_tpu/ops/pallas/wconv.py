@@ -194,14 +194,25 @@ def cols_for(n_rows: int, block: int = 256) -> int:
 
 
 def prep_rulebook(rulebook, n_in: int, cols_in: int, *,
-                  window: int, block: int = 256):
+                  window: int, window_large: int | None = None,
+                  patch_max: int = 32, block: int = 256):
     """One-time per-rulebook prep shared by every conv using it.
 
     rulebook [N_out, K] (n_in = miss) -> (rb_t [K, cols_out], lo [K, nb],
-    span_ok scalar). The r2 A/B showed this XLA glue (transpose + window-lo
-    reduction) costs as much as the conv kernel itself when recomputed per
-    conv; submanifold convs at one resolution share a rulebook, so share it.
+    lo_large [K, nb], pb [patch_max], pvalid [patch_max], span_ok scalar).
+    The r2 A/B showed this XLA glue (transpose + window-lo reduction) costs
+    as much as the conv kernel itself when recomputed per conv;
+    submanifold convs at one resolution share a rulebook, so share it.
+
+    Two-level windows: per-(offset, block) spans are long-tailed (p99 is
+    ~1/4 of the max on realistic scenes — dense near-field y-rows), and
+    the one-hot GEMM's FLOPs scale linearly with the window. With
+    ``window_large`` set, the <= patch_max blocks containing any
+    over-span offset are listed in ``pb`` and recomputed at the large
+    window by a tiny side kernel; the global gather fallback only
+    triggers past ``window_large`` or ``patch_max``.
     """
+    wl = window if window_large is None else window_large
     n_out, k = rulebook.shape
     cols_out = cols_for(n_out, block)
     rb = jnp.pad(rulebook, ((0, cols_out - n_out), (0, 0)),
@@ -214,18 +225,32 @@ def prep_rulebook(rulebook, n_in: int, cols_in: int, *,
     hi = jnp.max(jnp.where(valid, idx, -1), axis=-1)
     has = jnp.any(valid, axis=-1)
     lo = jnp.where(has, lo, 0) & ~jnp.int32(127)  # 128-align down
-    span_ok = jnp.all(jnp.where(has, hi - lo < window, True))
+    span_ok = jnp.all(jnp.where(has, hi - lo < wl, True))
+    over_b = jnp.any(has & (hi - lo >= window), axis=0)  # [nb]
+    n_over = jnp.sum(over_b)
+    if wl > window:
+        span_ok = span_ok & (n_over <= patch_max)
+        pb = jnp.nonzero(over_b, size=patch_max, fill_value=0)[0]
+        pb = pb.astype(jnp.int32)
+        pvalid = (jnp.arange(patch_max) < n_over).astype(jnp.int32)
+    else:
+        # single-level: spans past `window` go to the global fallback
+        span_ok = span_ok & (n_over == 0)
+        pb = jnp.zeros((patch_max,), jnp.int32)
+        pvalid = jnp.zeros((patch_max,), jnp.int32)
+    lo_l = jnp.clip(lo, 0, max(cols_in - wl, 0))
     lo = jnp.clip(lo, 0, max(cols_in - window, 0))
-    return rb_t, lo, span_ok
+    return rb_t, lo, lo_l, pb, pvalid, span_ok
 
 
-def _fused_kernel(lo_ref, rb_ref, feat_ref, w_ref, b_ref, out_ref, g_ref, *,
-                  window, block, k, cin, relu, miss):
+def _fused_kernel(lo_ref, rb_ref, feat_ref, w_ref, b_ref,
+                  out_ref, g_ref, *, window, block, k, cin, relu, miss):
     i = pl.program_id(0)
     for kk in range(k):
         lo = pl.multiple_of(lo_ref[kk, i], 128)
         win = feat_ref[:, pl.ds(lo, window)]  # [Cin, W]
-        oh = _onehot(rb_ref[kk:kk + 1, :], lo, window, block, feat_ref.dtype)
+        oh = _onehot(rb_ref[kk:kk + 1, :], lo, window, block,
+                     feat_ref.dtype)
         g = jax.lax.dot_general(
             win, oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [Cin, B]
@@ -242,17 +267,57 @@ def _fused_kernel(lo_ref, rb_ref, feat_ref, w_ref, b_ref, out_ref, g_ref, *,
     out_ref[:] = jnp.where(valid[None, :], out, 0.0).astype(out_ref.dtype)
 
 
-def fused_conv_affine_t(feats_t, rb_t, lo, span_ok, w2t, bias, n_in: int, *,
-                        window: int, block: int = 256, relu: bool = True,
-                        interpret: bool = False):
+def _patch_kernel(pb_ref, pvalid_ref, lol_ref, rb_ref, feat_ref, w_ref,
+                  b_ref, out_ref, g_ref, *, window_large, block, k, cin,
+                  relu, miss):
+    """Recompute ONE flagged block at the large window (full fused tail);
+    its result overwrites the main kernel's columns in the XLA merge."""
+    p = pl.program_id(0)
+
+    @pl.when(pvalid_ref[p] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(pvalid_ref[p] != 0)
+    def _():
+        b = pb_ref[p]
+        for kk in range(k):
+            lo = pl.multiple_of(lol_ref[kk, b], 128)
+            win = feat_ref[:, pl.ds(lo, window_large)]
+            oh = _onehot(rb_ref[kk:kk + 1, :], lo, window_large, block,
+                         feat_ref.dtype)
+            g = jax.lax.dot_general(
+                win, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_ref[kk * cin:(kk + 1) * cin, :] = g.astype(g_ref.dtype)
+        out = jax.lax.dot_general(
+            w_ref[:], g_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + b_ref[:]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        valid = jnp.any(rb_ref[:] != miss, axis=0)
+        out_ref[:] = jnp.where(valid[None, :], out, 0.0).astype(out_ref.dtype)
+
+
+def fused_conv_affine_t(feats_t, rb_t, lo, lo_l, pb, pvalid, span_ok, w2t,
+                        bias, n_in: int, *, window: int,
+                        window_large: int | None = None, block: int = 256,
+                        relu: bool = True, interpret: bool = False):
     """Fused sparse conv + affine(BN-folded) + ReLU + occupancy mask, fully in
     the transposed [C, cols] layout (serving fast path).
 
     feats_t [Cin, cols_in] (zero column at/beyond n_in = cols positions with
-    no voxel); rb_t/lo/span_ok from prep_rulebook; w2t [Cout, K*Cin] with the
-    BN scale pre-folded into the rows; bias [Cout, 1] f32. Returns out_t
-    [Cout, cols_out]. Exact: falls back to an XLA gather formulation inside
-    lax.cond when any window span overflows.
+    no voxel); rb_t/lo/lo_l/pb/pvalid/span_ok from prep_rulebook; w2t
+    [Cout, K*Cin] with the BN scale pre-folded into the rows; bias
+    [Cout, 1] f32. Returns out_t [Cout, cols_out].
+
+    Two-level windows: the MAIN kernel is branch-free at ``window`` (the
+    FLOPs scale linearly with the slice width and spans are long-tailed);
+    the <= patch_max blocks flagged in ``pb`` are recomputed whole by a
+    tiny side kernel at ``window_large`` and overwrite their columns.
+    Exact: falls back to an XLA gather formulation inside lax.cond when
+    any span overflows window_large (or the patch list overflows).
     """
     cin, cols_in = feats_t.shape
     k, cols_out = rb_t.shape
@@ -260,9 +325,13 @@ def fused_conv_affine_t(feats_t, rb_t, lo, span_ok, w2t, bias, n_in: int, *,
     miss = n_in  # rulebook miss sentinel = input grid capacity; feats_t
     # column n_in is zero, so misses gather zeros in both branches
     window = min(window, cols_in)
+    window_large = window if window_large is None else min(window_large,
+                                                           cols_in)
+    two_level = window_large > window
+    patch_max = pb.shape[0]
+    nb = cols_out // block
 
     def fast(_):
-        nb = cols_out // block
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
@@ -277,13 +346,51 @@ def fused_conv_affine_t(feats_t, rb_t, lo, span_ok, w2t, bias, n_in: int, *,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((k * cin, block), feats_t.dtype)],
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_fused_kernel, window=window, block=block,
                               k=k, cin=cin, relu=relu, miss=miss),
             out_shape=jax.ShapeDtypeStruct((cout, cols_out), feats_t.dtype),
             grid_spec=grid_spec,
             interpret=interpret,
         )(lo, rb_t, feats_t, w2t, bias)
+        if not two_level:
+            return out
+
+        patch_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(patch_max,),
+            in_specs=[
+                pl.BlockSpec((k, block),
+                             lambda p, pb_, pv_, lol_: (0, pb_[p]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # features
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            ],
+            out_specs=pl.BlockSpec((cout, block),
+                                   lambda p, pb_, pv_, lol_: (0, p),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((k * cin, block), feats_t.dtype)],
+        )
+        patched = pl.pallas_call(
+            functools.partial(_patch_kernel, window_large=window_large,
+                              block=block, k=k, cin=cin, relu=relu,
+                              miss=miss),
+            out_shape=jax.ShapeDtypeStruct((cout, patch_max * block),
+                                           feats_t.dtype),
+            grid_spec=patch_spec,
+            interpret=interpret,
+        )(pb, pvalid, lo_l, rb_t, feats_t, w2t, bias)
+
+        # merge: patched blocks overwrite their columns (padded patch
+        # entries land in a scratch block past cols_out)
+        base = jnp.where(pvalid > 0, pb, jnp.int32(nb)) * block
+        cols = (base[:, None] + jnp.arange(block, dtype=jnp.int32)).reshape(-1)
+        buf = jnp.zeros((cout, cols_out + block), feats_t.dtype)
+        buf = buf.at[:, cols].set(patched)
+        hit = jnp.zeros((cols_out + block,), bool).at[cols].set(
+            jnp.repeat(pvalid > 0, block))
+        return jnp.where(hit[None, :cols_out], buf[:, :cols_out], out)
 
     def slow(_):
         fp = feats_t.T  # [cols_in, Cin]; miss row n_in is a zero column

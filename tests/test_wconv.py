@@ -73,3 +73,53 @@ def test_windowed_conv_grad_matches_plain():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_w),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_two_level_windows_exact():
+    """The two-level fused kernel (small window + rare wide blocks flagged
+    per (offset, block)) must equal the plain gather formulation even when
+    many blocks exceed the small window."""
+    import jax
+    import jax.numpy as jnp
+    from sessd_tpu.ops.pallas.wconv import (cols_for, fused_conv_affine_t,
+                                            prep_rulebook)
+
+    rng = np.random.RandomState(0)
+    n_in, cin, cout, k = 1000, 16, 32, 27
+    cols_in = cols_for(n_in)
+    n_out = n_in
+    # rulebook: mostly local rows (small spans) with a sprinkling of
+    # far-away sources so some (offset, block) pairs exceed the small
+    # window but not the large one
+    base = np.arange(n_out)[:, None] + rng.randint(-40, 40, (n_out, k))
+    far = rng.rand(n_out, k) < 0.02
+    base = np.where(far, rng.randint(0, n_in, (n_out, k)), base)
+    rb = np.where((base >= 0) & (base < n_in), base, n_in).astype(np.int32)
+
+    feats = rng.randn(cin, cols_in).astype(np.float32) * 0.3
+    feats[:, n_in:] = 0.0
+    w2t = (rng.randn(cout, k * cin) * 0.05).astype(np.float32)
+    bias = (rng.randn(cout, 1) * 0.1).astype(np.float32)
+
+    window, window_large = 256, cols_in
+    rb_t, lo, lo_l, pb, pvalid, span_ok = prep_rulebook(
+        jnp.asarray(rb), n_in, cols_in, window=window,
+        window_large=window_large)
+    assert int(np.asarray(pvalid).sum()) > 0, "test must exercise patches"
+    assert bool(span_ok)
+
+    out = fused_conv_affine_t(
+        jnp.asarray(feats), rb_t, lo, lo_l, pb, pvalid, span_ok,
+        jnp.asarray(w2t), jnp.asarray(bias), n_in,
+        window=window, window_large=window_large, relu=True, interpret=True)
+
+    # reference: gather formulation
+    fp = feats.T  # [cols_in, Cin]
+    rb_pad = np.full((out.shape[1], k), n_in, np.int32)
+    rb_pad[:n_out] = rb
+    g = fp[rb_pad].reshape(out.shape[1], k * cin)
+    want = g @ w2t.T + bias[:, 0][None, :]
+    want = np.maximum(want, 0.0)
+    valid = (rb_pad != n_in).any(1)
+    want = np.where(valid[:, None], want, 0.0).T
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-4)
