@@ -163,12 +163,13 @@ def main():
             # throughput serving: one chain over the (B, D, H, W) grid —
             # batch-1 stays the headline (reference reports per-frame
             # latency); batched rate shows the chip's throughput headroom
-            prep.batch(scenes[:1] * bsz)  # warm (THP compaction stalls the
-            #                               first large allocations by ~secs)
+            for _ in range(2):  # warm (THP compaction stalls the first
+                prep.batch(scenes[:1] * bsz)  # large allocations by ~secs)
             t0 = time.perf_counter()
             pb = [prep.batch([scenes[(i + k) % len(scenes)]
-                              for k in range(bsz)]) for i in range(2)]
-            hostb_ms = (time.perf_counter() - t0) / (2 * bsz) * 1e3
+                              for k in range(bsz)]) for i in range(4)]
+            hostb_ms = (time.perf_counter() - t0) / (4 * bsz) * 1e3
+            pb = pb[:2]
             stagedb = [
                 (jax.device_put(p["feats"], dev),
                  jax.tree_util.tree_map(lambda a: jax.device_put(a, dev),
