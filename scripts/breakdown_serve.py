@@ -31,7 +31,8 @@ def main(bsz=None):
     bsz = bsz if bsz is not None else int(os.environ.get("BK_BATCH", "1"))
     caps = (20000, 22000, 18000, 12000, 8000)
     model = VoxelNet(sparse_shape=spec.sparse_shape, dtype=jnp.bfloat16,
-                     dense_from_stage=5)
+                     dense_from_stage=5,
+                     fused_block=int(os.environ.get("BK_BLOCK", "0")))
     prep = HostPreprocessor(spec, caps)
     scenes = [np.asarray(make_scene(seed=s_)[0]) for s_ in range(bsz)]
     p = prep(scenes[0]) if bsz == 1 else prep.batch(scenes)

@@ -70,6 +70,7 @@ class SparseConvBlock(nn.Module):
     conv_impl: str = "auto"
     window: int = 768
     window_large: int = 0  # two-level fused kernel (0 = single window)
+    fused_block: int = 256  # pallas grid block (output columns per program)
 
     @nn.compact
     def __call__(self, x, rulebook=None, out_mask=None, train: bool = False,
@@ -101,6 +102,7 @@ class SparseConvBlock(nn.Module):
                 x_t, rb_t, lo, lo_l, pb, pvalid, span_ok, w2t, b[:, None],
                 n_in, window=self.window,
                 window_large=self.window_large or None,
+                block=self.fused_block,
                 relu=self.use_relu,
                 interpret=jax.default_backend() == "cpu")
         if dense_inputs is None:
@@ -223,6 +225,7 @@ class SpMiddleFHD(nn.Module):
     # window in-kernel. 0 disables the second level.
     subm_windows_small: Tuple[int, ...] = (512, 512, 640, 640)
     down_windows_small: Tuple[int, ...] = (640, 1024, 1024, 512)
+    fused_block: int = 256
 
     @nn.compact
     def __call__(self, voxel_features, coords_bzyx, valid, batch_size: int,
@@ -271,6 +274,7 @@ class SpMiddleFHD(nn.Module):
                 conv_impl=self.conv_impl,
                 window=window or self.subm_window,
                 window_large=window_large,
+                fused_block=self.fused_block,
                 name=f"SparseConvBlock_{blk[0]}")
             blk[0] += 1
             return m
@@ -309,7 +313,8 @@ class SpMiddleFHD(nn.Module):
                      and (jax.default_backend() != "cpu"
                           or self.conv_impl == "fused"))
         if use_fused:
-            x_t = jnp.zeros((x.shape[-1], cols_for(caps[0])), self.dtype)
+            x_t = jnp.zeros((x.shape[-1], cols_for(caps[0], self.fused_block)),
+                            self.dtype)
             x_t = jax.lax.dynamic_update_slice(
                 x_t, x.T.astype(self.dtype), (0, 0))
             for stage, (feats, n_subm, dk, ds, dp) in enumerate(plan):
@@ -319,8 +324,10 @@ class SpMiddleFHD(nn.Module):
                     dw = (min(self.down_windows_small[stage - 1], dwl)
                           if self.down_windows_small[stage - 1] else dwl)
                     prep = prep_rulebook(rbd, caps[stage - 1],
-                                         cols_for(caps[stage - 1]), window=dw,
-                                         window_large=dwl)
+                                         cols_for(caps[stage - 1],
+                                                  self.fused_block),
+                                         window=dw, window_large=dwl,
+                                         block=self.fused_block)
                     x_t = block(feats, int(np.prod(dk)), dk,
                                 window=dw, window_large=dwl, fused=True)(
                         None, train=train,
@@ -331,8 +338,10 @@ class SpMiddleFHD(nn.Module):
                     sw = (min(self.subm_windows_small[stage], swl)
                           if self.subm_windows_small[stage] else swl)
                     prep = prep_rulebook(stage_subm(grid, stage), caps[stage],
-                                         cols_for(caps[stage]), window=sw,
-                                         window_large=swl)
+                                         cols_for(caps[stage],
+                                                  self.fused_block),
+                                         window=sw, window_large=swl,
+                                         block=self.fused_block)
                     for _ in range(n_subm):
                         x_t = block(feats, 27, window=sw, window_large=swl,
                                     fused=True)(

@@ -126,3 +126,17 @@ def test_fused_plan_two_level_windows(rng):
                         down_windows_small=(128, 128, 128, 128))
     got = np.asarray(fused.apply(variables, *args, train=False))
     np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
+
+
+def test_fused_plan_block_override(rng):
+    """Non-default pallas grid block (fused_block) stays exact."""
+    args = _scene(rng)
+    caps = (512, 512, 400, 256, 128)
+    ref = SpMiddleFHD(stage_capacity=caps, dense_from_stage=5,
+                      conv_impl="gather")
+    variables = _nontrivial_variables(rng, ref, args)
+    want = np.asarray(ref.apply(variables, *args, train=False))
+    fused = SpMiddleFHD(stage_capacity=caps, dense_from_stage=5,
+                        conv_impl="fused", fused_block=128)
+    got = np.asarray(fused.apply(variables, *args, train=False))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3)
