@@ -240,14 +240,18 @@ def points_in_convex_polygon_3d(points: np.ndarray, polygon_surfaces: np.ndarray
     (det3d/core/bbox/geometry.py:215-278).
     """
     n_poly, max_surfaces = polygon_surfaces.shape[:2]
-    if num_surfaces is None:
-        num_surfaces = np.full((n_poly,), 9999999, dtype=np.int64)
     # surface normal from first three vertices (cross of edge vectors)
     sv0 = polygon_surfaces[:, :, 0, :] - polygon_surfaces[:, :, 1, :]
     sv1 = polygon_surfaces[:, :, 1, :] - polygon_surfaces[:, :, 2, :]
     normal = np.cross(sv0, sv1)  # [N, S, 3]
     d = np.einsum("nsk,nsk->ns", normal, polygon_surfaces[:, :, 0, :])
-    sign = np.einsum("pk,nsk->pns", points[:, :3], normal) - d[None]
+    # [P, 3] @ [3, N*S] dispatches to BLAS (the pk,nsk->pns einsum does
+    # not and is ~10x slower at pipeline sizes)
+    sign = (np.ascontiguousarray(points[:, :3])
+            @ normal.reshape(n_poly * max_surfaces, 3).T
+            ).reshape(len(points), n_poly, max_surfaces) - d[None]
+    if num_surfaces is None:  # all surface slots valid: skip the mask pass
+        return ~np.any(sign >= 0, axis=-1)
     surf_idx = np.arange(max_surfaces)[None, :] < num_surfaces[:, None]  # [N, S]
     return ~np.any((sign >= 0) & surf_idx[None], axis=-1)
 

@@ -57,9 +57,20 @@ def create_targets(
         gt_classes = np.ones((gt_boxes.shape[0],), dtype=np.int32)
 
     if len(gt_boxes) > 0:
-        overlap = nearest_iou_similarity(
-            anchors[:, [0, 1, 3, 4, 6]], gt_boxes[:, [0, 1, 3, 4, 6]]
-        )  # [A, M]
+        # exact prefilter: the aligned IoU is zero unless the near-bboxes
+        # intersect; 4 compares per (anchor, gt) select the ~few-thousand
+        # candidate anchors out of 70k before the arithmetic-heavy IoU
+        # (the overlap matrix is identical — zero rows stay zero)
+        b1 = rbbox2d_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
+        b2 = rbbox2d_to_near_bbox(gt_boxes[:, [0, 1, 3, 4, 6]])
+        hit = ((b1[:, None, 2] > b2[None, :, 0])
+               & (b1[:, None, 0] < b2[None, :, 2])
+               & (b1[:, None, 3] > b2[None, :, 1])
+               & (b1[:, None, 1] < b2[None, :, 3]))  # [A, M]
+        cand = np.flatnonzero(hit.any(axis=1))
+        overlap = np.zeros((num, len(gt_boxes)), anchors.dtype)
+        if len(cand):
+            overlap[cand] = box_np.iou_2d_aligned_matrix(b1[cand], b2)
         anchor_to_gt_argmax = overlap.argmax(axis=1)
         anchor_to_gt_max = overlap[np.arange(num), anchor_to_gt_argmax]
         gt_to_anchor_max = overlap.max(axis=0)

@@ -41,7 +41,21 @@ def box_collision_test(boxes5: np.ndarray, qboxes5: np.ndarray) -> np.ndarray:
     """
     if len(boxes5) == 0 or len(qboxes5) == 0:
         return np.zeros((len(boxes5), len(qboxes5)), dtype=bool)
-    return overlap_bev_matrix(boxes5, qboxes5) > 1e-9
+    # bounding-circle prefilter (exact: a rotated rect lies inside its
+    # half-diagonal circle, so disjoint circles => no overlap); the exact
+    # polygon clipping runs only on rows/cols with a near pair — the
+    # noise_per_object attempt matrices are ~95% far pairs
+    r1 = 0.5 * np.hypot(boxes5[:, 2], boxes5[:, 3])
+    r2 = 0.5 * np.hypot(qboxes5[:, 2], qboxes5[:, 3])
+    d = np.linalg.norm(boxes5[:, None, :2] - qboxes5[None, :, :2], axis=-1)
+    near = d <= r1[:, None] + r2[None, :]
+    out = np.zeros(near.shape, dtype=bool)
+    rows = np.flatnonzero(near.any(axis=1))
+    if rows.size:
+        cols = np.flatnonzero(near[rows].any(axis=0))
+        sub = overlap_bev_matrix(boxes5[rows], qboxes5[cols]) > 1e-9
+        out[np.ix_(rows, cols)] = sub
+    return out
 
 
 # ---------------------------------------------------------------------------
