@@ -51,10 +51,21 @@ def points_in_pyramids_mask(points: np.ndarray, pyramids: np.ndarray) -> np.ndar
     if len(pyramids) == 0 or len(points) == 0:
         return np.zeros((len(points), len(pyramids)), dtype=bool)
     verts = pyramids.reshape(-1, 5, 3)  # apex + 4 base corners
+    # exact union-AABB prefilter: a point strictly inside a pyramid lies
+    # within the convex hull of its vertices, hence within the union AABB
+    # — the surface-sign test then runs on the ~1/4 candidate points
+    flat = verts.reshape(-1, 3)
+    mins, maxs = flat.min(0), flat.max(0)
+    p3 = points[:, :3]
+    cand = np.flatnonzero(((p3 >= mins) & (p3 <= maxs)).all(axis=1))
+    out = np.zeros((len(points), len(pyramids)), dtype=bool)
+    if not cand.size:
+        return out
     surfaces = verts[:, _SURF_IDX, :].reshape(-1, 5, 3, 3)
     # pad 3-vertex surfaces to the 4-slot convention by repeating the last
     surfaces4 = np.concatenate([surfaces, surfaces[:, :, 2:3, :]], axis=2)
-    return box_np.points_in_convex_polygon_3d(points[:, :3], surfaces4)
+    out[cand] = box_np.points_in_convex_polygon_3d(p3[cand], surfaces4)
+    return out
 
 
 def farthest_point_sample(xyz: np.ndarray, k: int, rng) -> np.ndarray:
