@@ -163,6 +163,13 @@ void downsample_t(const Stage& in, const int32_t* kernel,
                   const int32_t* stride, const int32_t* pad, Stage* out,
                   T* out_rb) {
   const int64_t kd = kernel[0], kh = kernel[1], kw = kernel[2];
+  // the per-point candidate buffers below (ozs/oys/oxs[8], last[512]) are
+  // sized for kernels up to 8 taps/axis and 512 taps total; bail out loudly
+  // rather than overflow the stack on an unexpected geometry
+  if (kd > 8 || kh > 8 || kw > 8 || kd * kh * kw > 512) {
+    out->n = -1;
+    return;
+  }
   const int64_t sd = SD ? SD : stride[0];
   const int64_t sh = SH ? SH : stride[1];
   const int64_t sw = SW ? SW : stride[2];
@@ -336,6 +343,7 @@ int64_t build_rulebooks_impl(
     cur.cap = caps[t + 1];
     downsample(prev, down_k + t * 3, down_s + t * 3, down_p + t * 3,
                &cur, down_out);
+    if (cur.n < 0) return -2;  // unsupported kernel geometry (see downsample_t)
     int64_t kvol = (int64_t)down_k[t * 3] * down_k[t * 3 + 1] * down_k[t * 3 + 2];
     down_out += caps[t + 1] * kvol;
     write_ids(cur, ids_out);

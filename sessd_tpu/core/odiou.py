@@ -48,6 +48,65 @@ def min_area_rect_diag(points: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(bw ** 2 + bh ** 2)
 
 
+def ref_mbr_diag(points: jnp.ndarray) -> jnp.ndarray:
+    """Reference-compatible bounding-rect diagonal of [..., P, 2] points.
+
+    Emulates odious.py:597-648 exactly rather than computing the true
+    minimum-area rectangle, because the released SE-SSD recipe trained
+    through these semantics and ``min_area_rect_diag`` differs as a
+    *function* (different gradients even where values agree):
+
+    - candidate directions are the convex-hull edge angles only
+      (odious.py:610-611), not all pairwise directions;
+    - each angle is folded to ``abs(fmod(ang, pi/2))`` (odious.py:612-613).
+      The fold by pi/2 is harmless (a rectangle at theta equals one at
+      theta+pi/2) but the ``abs`` MIRRORS negative angles — a genuine
+      reference quirk that changes the chosen rectangle;
+    - the rectangle is the axis-aligned bbox of the points rotated by
+      -angle; argmin area wins; diag of that rectangle (odious.py:616-629).
+
+    Known deviation: the reference iterates scipy hull vertices and skips
+    the closing edge (odious.py:610 drops last->first); which edge that is
+    depends on qhull's arbitrary starting vertex, so we include ALL hull
+    edges. The goldens carry a per-pair mask for the rare pairs where the
+    dropped edge changes the reference's answer.
+    """
+    p = points.shape[-2]
+    ii, jj = jnp.nonzero(  # all ordered pairs i != j
+        ~jnp.eye(p, dtype=bool), size=p * (p - 1))
+    a = points[..., ii, :]                       # [..., C, 2]
+    e = points[..., jj, :] - a                   # edge vectors
+    # hull-edge test: every point left of (or on) the directed edge
+    rel = points[..., None, :, :] - a[..., :, None, :]   # [..., C, P, 2]
+    cross = e[..., None, 0] * rel[..., 1] - e[..., None, 1] * rel[..., 0]
+    center = jnp.mean(points, axis=-2, keepdims=True)
+    scale_sq = jnp.maximum(
+        jnp.max(jnp.sum((points - center) ** 2, axis=-1), axis=-1), 1e-12)
+    eps = 1e-5 * scale_sq[..., None]
+    elen_sq = jnp.sum(e * e, axis=-1)
+    is_edge = (jnp.all(cross >= -eps[..., None], axis=-1)
+               & (elen_sq > 1e-12 * scale_sq[..., None]))
+    # zero-length edges (duplicate points, e.g. identical boxes) are masked
+    # out above, but atan2's gradient at (0,0) is NaN and 0*NaN poisons the
+    # backward pass — substitute a fixed direction for them
+    zero_e = elen_sq <= 1e-12 * scale_sq[..., None]
+    ex = jnp.where(zero_e, 1.0, e[..., 0])
+    ey = jnp.where(zero_e, 0.0, e[..., 1])
+    ang = jnp.abs(jnp.fmod(jnp.arctan2(ey, ex), jnp.pi / 2))
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    px = points[..., None, :, 0]                 # [..., 1, P]
+    py = points[..., None, :, 1]
+    rx = px * c[..., :, None] + py * s[..., :, None]
+    ry = -px * s[..., :, None] + py * c[..., :, None]
+    w = rx.max(axis=-1) - rx.min(axis=-1)        # [..., C]
+    h = ry.max(axis=-1) - ry.min(axis=-1)
+    areas = jnp.where(is_edge, w * h, jnp.inf)
+    best = jnp.argmin(areas, axis=-1)
+    bw = jnp.take_along_axis(w, best[..., None], axis=-1)[..., 0]
+    bh = jnp.take_along_axis(h, best[..., None], axis=-1)[..., 0]
+    return jnp.sqrt(bw ** 2 + bh ** 2)
+
+
 def odiou_3d(gboxes: jnp.ndarray, qboxes: jnp.ndarray) -> jnp.ndarray:
     """Elementwise ODIoU distance of aligned [..., 7] box pairs (no reduction)."""
     indicator = (
@@ -68,7 +127,7 @@ def odiou_3d(gboxes: jnp.ndarray, qboxes: jnp.ndarray) -> jnp.ndarray:
 
     center_dist_sq = jnp.sum((g[..., :3] - q[..., :3]) ** 2, axis=-1)
     corners = jnp.concatenate([bev_corners(g), bev_corners(q)], axis=-2)  # [..., 8, 2]
-    diag_bev = min_area_rect_diag(corners)
+    diag_bev = ref_mbr_diag(corners)
     # NOTE: the reference combines the BEV diag with the *intersection*
     # height, not the union height (odious.py:880-886).
     diag3d_sq = diag_bev ** 2 + inter_h ** 2 + 1e-7

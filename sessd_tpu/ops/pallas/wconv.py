@@ -213,6 +213,13 @@ def prep_rulebook(rulebook, n_in: int, cols_in: int, *,
     triggers past ``window_large`` or ``patch_max``.
     """
     wl = window if window_large is None else window_large
+    # lo is 128-aligned down then clipped to cols_in - window; cols_in is a
+    # 256-multiple, so a non-128-multiple window would unalign the clipped lo
+    # and break the pl.multiple_of(lo, 128) promise in the kernels.
+    if window % 128 != 0 or wl % 128 != 0:
+        raise ValueError(
+            f"window ({window}) and window_large ({wl}) must be multiples "
+            "of 128 (lane alignment of the Pallas window slices)")
     n_out, k = rulebook.shape
     cols_out = cols_for(n_out, block)
     rb = jnp.pad(rulebook, ((0, cols_out - n_out), (0, 0)),

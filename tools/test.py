@@ -44,6 +44,11 @@ def main():
         ds = trainer.val_dataset
         id_to_index = {int(info["image"]["image_idx"]): i
                        for i, info in enumerate(ds.infos)}
+        unknown = [i for i in args.eval_ids if i not in id_to_index]
+        if unknown:
+            raise SystemExit(
+                f"--eval_ids not in the val split: {unknown} "
+                f"(split has {len(id_to_index)} samples)")
         indices = [id_to_index[i] for i in args.eval_ids]
         dets = trainer.predict_samples(indices, use_ema=args.use_ema)
         annos = ds.convert_detection_to_kitti_annos(dets, indices=indices)
