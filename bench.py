@@ -115,7 +115,12 @@ def main():
         caps = model.stage_capacity
         prep = HostPreprocessor(spec, caps)
         scenes = [np.asarray(make_scene(seed=s)[0]) for s in range(4)]
-        # measure host prep (single core)
+        # fill the preprocessor's buffer ring first: the initial large
+        # allocations stall under THP/khugepaged (seconds once the heap is
+        # churned); steady-state prep reuses them and is allocation-free
+        for pts in scenes[:prep.ring]:
+            prep(pts)
+        # measure host prep (single core, steady state)
         prepped = []
         t0 = time.perf_counter()
         for pts in scenes:
@@ -163,14 +168,23 @@ def main():
             fetch(out)
             lat.append(time.perf_counter() - t1)
 
-        extra = {"mode": "host_prep+device", "host_prep_ms": round(host_ms, 2)}
+        # host-side span telemetry: counts patch-kernel blocks and flags any
+        # conv that will trip the whole-conv gather fallback in-graph (the
+        # silent ~7x slowdown the windows are tuned against)
+        from sessd_tpu.serve import fallback_telemetry, window_config_from_detector
+        wcfg = window_config_from_detector(model)
+        tel = [fallback_telemetry(p["rulebooks"], caps, wcfg)
+               for p in prepped]
+        extra = {"mode": "host_prep+device", "host_prep_ms": round(host_ms, 2),
+                 "fallback_convs": sum(t["fallback_convs"] for t in tel),
+                 "patched_blocks": max(t["patched_blocks"] for t in tel)}
         bsz = int(os.environ.get("SESSD_BATCH", "4"))
         if bsz > 1:
             # throughput serving: one chain over the (B, D, H, W) grid —
             # batch-1 stays the headline (reference reports per-frame
             # latency); batched rate shows the chip's throughput headroom
-            for _ in range(2):  # warm (THP compaction stalls the first
-                prep.batch(scenes[:1] * bsz)  # large allocations by ~secs)
+            for _ in range(prep.ring):  # fill the batched buffer ring (the
+                prep.batch(scenes[:1] * bsz)  # initial allocations THP-stall)
             t0 = time.perf_counter()
             pb = [prep.batch([scenes[(i + k) % len(scenes)]
                               for k in range(bsz)]) for i in range(4)]
@@ -195,9 +209,14 @@ def main():
                 out = inferb(variables, f, rb)
             fetch(out)
             dtb = time.perf_counter() - t0
+            telb = [fallback_telemetry(p["rulebooks"],
+                                       [c * bsz for c in caps], wcfg)
+                    for p in pb]
             extra.update({
                 f"batch{bsz}_scenes_per_sec": round(iters * bsz / dtb, 3),
                 f"batch{bsz}_host_prep_ms": round(hostb_ms, 2),
+                f"batch{bsz}_fallback_convs": sum(t["fallback_convs"]
+                                                  for t in telb),
             })
         _report(iters / dt, lat, extra)
         return

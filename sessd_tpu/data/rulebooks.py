@@ -42,7 +42,8 @@ def _tree_stack(dicts):
 
 
 def build_batch_rulebooks(coords, mask, sparse_shape, stage_capacity,
-                          native=None, out_dtype=None, downs=None):
+                          native=None, out_dtype=None, downs=None,
+                          scratch=None):
     """One chain over the batched (B, D, H, W) grid from stacked loader
     arrays: coords [B, V, 3] zyx + mask [B, V]. Returns None without the
     native library. out_dtype default: int16 when the batched capacities
@@ -65,7 +66,7 @@ def build_batch_rulebooks(coords, mask, sparse_shape, stage_capacity,
     return native.build_rulebooks(bzyx, mask.reshape(-1),
                                   (b,) + tuple(sparse_shape), caps,
                                   list(downs if downs is not None else DOWNS),
-                                  out_dtype=out_dtype)
+                                  out_dtype=out_dtype, scratch=scratch)
 
 
 def make_train_rulebook_transform(
@@ -85,6 +86,18 @@ def make_train_rulebook_transform(
     if native is None:
         return None
     caps = [int(c) for c in stage_capacity]
+    # scratch ring: num_shards buffer sets per (caps, dtype) — the per-shard
+    # results are alive only until _tree_stack copies them, so reusing the
+    # buffers across calls is safe and avoids the THP-stalling fresh mmaps
+    # (see utils/native.rulebook_scratch)
+    pools: dict = {}
+
+    def _scratch(caps_b, out_dtype, slot):
+        key = (tuple(caps_b), np.dtype(out_dtype))
+        sets = pools.setdefault(key, [])
+        while len(sets) <= slot:
+            sets.append(native.rulebook_scratch(caps_b, downs, out_dtype))
+        return sets[slot]
 
     def transform(batch: dict) -> dict:
         out = dict(batch)
@@ -94,10 +107,13 @@ def make_train_rulebook_transform(
             b, v, _ = coords.shape
             assert b % num_shards == 0, (b, num_shards)
             lb = b // num_shards
+            caps_b = [c * lb for c in caps]
+            out_dtype = np.int16 if max(caps_b) < 2 ** 15 else np.int32
             shards = [
                 build_batch_rulebooks(
                     coords[s * lb:(s + 1) * lb], mask[s * lb:(s + 1) * lb],
-                    sparse_shape, caps, native=native, downs=downs)
+                    sparse_shape, caps, native=native, downs=downs,
+                    out_dtype=out_dtype, scratch=_scratch(caps_b, out_dtype, s))
                 for s in range(num_shards)
             ]
             out["rulebooks" + suffix] = _tree_stack(shards)

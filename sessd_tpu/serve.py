@@ -33,7 +33,7 @@ class HostPreprocessor:
 
     def __init__(self, spec: VoxelizerSpec,
                  stage_capacity=(20000, 22000, 18000, 12000, 8000),
-                 num_input_features: int = 4):
+                 num_input_features: int = 4, ring: int = 4):
         self.spec = spec
         self.caps = [int(c) for c in stage_capacity]
         self.nif = num_input_features
@@ -41,6 +41,23 @@ class HostPreprocessor:
         if self.native is None:
             raise RuntimeError("native toolchain unavailable; host serving "
                                "path requires native/rulebook.cpp")
+        # ring of reusable rulebook output buffers: steady-state prep does
+        # no large allocations (fresh ~50-80 MB mmaps stall for seconds
+        # under THP once the heap is churned — see native.rulebook_scratch).
+        # ALIASING CONTRACT: a returned rulebook dict is valid until `ring`
+        # further prep calls with the same (caps, dtype); consume (e.g.
+        # device_put) within that window.
+        self.ring = int(ring)
+        self._scratch: dict = {}
+
+    def _next_scratch(self, caps, out_dtype):
+        key = (tuple(int(c) for c in caps), np.dtype(out_dtype))
+        ring = self._scratch.setdefault(key, {"sets": [], "i": 0})
+        if len(ring["sets"]) < self.ring:
+            ring["sets"].append(
+                self.native.rulebook_scratch(caps, DOWNS, out_dtype))
+        ring["i"] = (ring["i"] + 1) % len(ring["sets"])
+        return ring["sets"][ring["i"]]
 
     def __call__(self, points: np.ndarray) -> dict:
         spec = self.spec
@@ -60,9 +77,10 @@ class HostPreprocessor:
         # capacities < 2^15: the C++ writes rulebooks/perm as int16 directly
         # (no cast pass); ids stay int32
         out_dtype = np.int16 if max(self.caps) < 2 ** 15 else np.int32
-        rb = self.native.build_rulebooks(coords, valid, (1, d, h, w),
-                                         self.caps, DOWNS,
-                                         out_dtype=out_dtype)
+        rb = self.native.build_rulebooks(
+            coords, valid, (1, d, h, w), self.caps, DOWNS,
+            out_dtype=out_dtype,
+            scratch=self._next_scratch(self.caps, out_dtype))
         return {"feats": feats, "rulebooks": rb}
 
     def batch(self, scenes) -> dict:
@@ -89,9 +107,77 @@ class HostPreprocessor:
         d, h, w = spec.sparse_shape
         caps_b = [c * b for c in self.caps]
         out_dtype = np.int16 if max(caps_b) < 2 ** 15 else np.int32
-        rb = self.native.build_rulebooks(coords, valid, (b, d, h, w),
-                                         caps_b, DOWNS, out_dtype=out_dtype)
+        rb = self.native.build_rulebooks(
+            coords, valid, (b, d, h, w), caps_b, DOWNS, out_dtype=out_dtype,
+            scratch=self._next_scratch(caps_b, out_dtype))
         return {"feats": feats, "rulebooks": rb}
+
+
+def _span_stats(rb: np.ndarray, n_in: int, window: int, window_large: int,
+                patch_max: int, block: int):
+    """Numpy twin of prep_rulebook's span logic for one rulebook [N, K]."""
+    n_out, k = rb.shape
+    cols_out = -(-n_out // block) * block
+    idx = np.full((cols_out, k), n_in, np.int32)
+    idx[:n_out] = rb
+    idx = idx.T.reshape(k, cols_out // block, block)
+    valid = idx < n_in
+    has = valid.any(-1)
+    lo = np.where(valid, idx, n_in + 1).min(-1) & ~np.int32(127)
+    hi = np.where(valid, idx, -1).max(-1)
+    span = np.where(has, hi - lo, 0)
+    over_b = (span >= window).any(0)          # [nb] blocks past the small win
+    n_over = int(over_b.sum())
+    too_large = bool((span >= window_large).any())
+    fallback = too_large or (window_large > window and n_over > patch_max) \
+        or (window_large <= window and n_over > 0)
+    return {"n_over": n_over, "max_span": int(span.max(initial=0)),
+            "fallback": fallback}
+
+
+def fallback_telemetry(rulebooks, caps, model, patch_max: int = 32) -> dict:
+    """Per-conv span telemetry for a host-built rulebook chain.
+
+    Computes, host-side, exactly what prep_rulebook will decide in-graph
+    (sessd_tpu/ops/pallas/wconv.py:196-250): how many 256-column blocks of
+    each conv exceed the small window (they run the patch kernel) and
+    whether any conv will trip the WHOLE-conv gather fallback — the silent
+    ~7x serving slowdown that windows are tuned to avoid. `caps` are the
+    batched per-stage capacities matching the chain; `model` supplies the
+    configured windows (SpMiddleFHD fields).
+    """
+    convs = {}
+    for i in range(4):
+        small = model.subm_windows_small[i] or model.subm_windows[i]
+        convs[f"subm{i}"] = _span_stats(
+            np.asarray(rulebooks["subm"][i]), caps[i], small,
+            model.subm_windows[i], patch_max, model.fused_block)
+    for i in range(4):
+        small = model.down_windows_small[i] or model.down_windows[i]
+        convs[f"down{i}"] = _span_stats(
+            np.asarray(rulebooks["down"][i]), caps[i], small,
+            model.down_windows[i], patch_max, model.fused_block)
+    return {
+        "convs": convs,
+        "fallback_convs": sum(c["fallback"] for c in convs.values()),
+        "patched_blocks": sum(c["n_over"] for c in convs.values()
+                              if not c["fallback"]),
+    }
+
+
+def window_config_from_detector(detector):
+    """Resolve the effective Pallas window config of a VoxelNet detector
+    (its overrides over the SpMiddleFHD defaults) for fallback_telemetry."""
+    from .models.backbone import SpMiddleFHD
+
+    kw = {}
+    if getattr(detector, "subm_windows", None):
+        kw["subm_windows"] = tuple(detector.subm_windows)
+    if getattr(detector, "down_windows", None):
+        kw["down_windows"] = tuple(detector.down_windows)
+    if getattr(detector, "fused_block", 0):
+        kw["fused_block"] = detector.fused_block
+    return SpMiddleFHD(**kw)
 
 
 def make_infer_fn(model, variables, anchors, predict_cfg, caps,

@@ -142,8 +142,27 @@ class _Native:
         )
         return out_voxels[:nv], out_coords[:nv], out_np[:nv]
 
+    def rulebook_scratch(self, caps, downs, out_dtype=np.int32):
+        """Allocate one reusable output-buffer set for build_rulebooks.
+
+        Serving/loaders should hold a small ring of these (one per batch
+        in flight) and pass them via ``scratch=``: steady-state host prep
+        then performs no large allocations at all.
+        """
+        caps = np.asarray(caps, np.int64)
+        kvols = [int(np.prod(k)) for k, _, _ in downs]
+        out_dtype = np.dtype(out_dtype)
+        return {
+            "perm": np.empty(int(caps[0]), out_dtype),
+            "ids": np.empty(int(caps.sum()), np.int32),
+            "subm": np.empty(int(sum(caps[i] * 27 for i in range(4))),
+                             out_dtype),
+            "down": np.empty(int(sum(caps[i + 1] * kvols[i]
+                                     for i in range(4))), out_dtype),
+        }
+
     def build_rulebooks(self, coords_bzyx, valid, shape_bdhw, caps, downs,
-                        out_dtype=np.int32):
+                        out_dtype=np.int32, scratch=None):
         """Host twin of the device SpMiddleFHD rulebook chain (ops/sparse.py).
 
         coords_bzyx [cap0, 4] int32 (+ valid [cap0] bool, any layout);
@@ -179,12 +198,17 @@ class _Native:
                    (np.dtype(np.int16), ctypes.c_int16)])[out_dtype]
         fn = (self._lib.build_rulebooks if out_dtype == np.int32
               else self._lib.build_rulebooks_i16)
-        # np.empty: the C++ fills every output element (misses included)
-        perm = np.empty(int(caps[0]), out_dtype)
-        ids = np.empty(int(caps.sum()), np.int32)
-        subm = np.empty(int(sum(caps[i] * 27 for i in range(4))), out_dtype)
-        down = np.empty(int(sum(caps[i + 1] * kvols[i] for i in range(4))),
-                        out_dtype)
+        # np.empty: the C++ fills every output element (misses included).
+        # `scratch` (see rulebook_scratch) reuses preallocated buffers —
+        # fresh ~50-80 MB mmaps per call stall for SECONDS under THP/
+        # khugepaged once the process heap is churned (measured 1.4-1.9 s
+        # per batch-4 call when results stay alive; 80 ms with reuse)
+        if scratch is None:
+            scratch = self.rulebook_scratch(caps, downs, out_dtype)
+        perm = scratch["perm"]
+        ids = scratch["ids"]
+        subm = scratch["subm"]
+        down = scratch["down"]
 
         def ptr(a, t):
             return a.ctypes.data_as(ctypes.POINTER(t))

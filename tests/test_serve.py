@@ -74,3 +74,79 @@ def test_host_preprocessor_rulebooks_match_builder(prep_out):
     for key in ("ids", "subm", "down"):
         for a, b in zip(rb[key], want[key]):
             np.testing.assert_array_equal(a, b)
+
+
+def test_scratch_ring_reuse_and_aliasing_window():
+    """The buffer ring must (a) return results identical to fresh builds,
+    (b) keep the last `ring` results mutually un-aliased, and (c) reuse
+    buffers after `ring` calls (the documented aliasing contract — fresh
+    50-80 MB mmaps per call THP-stall for seconds on churned heaps)."""
+    from sessd_tpu.ops.voxelize import KITTI_VOXELIZER
+    from sessd_tpu.serve import HostPreprocessor
+    from sessd_tpu.utils.synth_scene import make_scene
+
+    prep = HostPreprocessor(KITTI_VOXELIZER, ring=2)
+    fresh = HostPreprocessor(KITTI_VOXELIZER, ring=1)
+    scenes = [np.asarray(make_scene(seed=s)[0]) for s in range(3)]
+
+    outs = [prep(p)["rulebooks"] for p in scenes[:2]]
+    # (b) within the ring window: both results valid simultaneously
+    for out, pts in zip(outs, scenes[:2]):
+        want = fresh(pts)["rulebooks"]
+        np.testing.assert_array_equal(out["perm"], want["perm"])
+        for key in ("ids", "subm", "down"):
+            for a, b in zip(out[key], want[key]):
+                np.testing.assert_array_equal(a, b)
+    # (c) the third call reuses the first call's buffers (same base memory)
+    out3 = prep(scenes[2])["rulebooks"]
+    assert out3["subm"][0].base is outs[0]["subm"][0].base
+
+
+def test_fallback_telemetry_realistic_and_overdense():
+    """Host span telemetry (serve.fallback_telemetry) must report zero
+    whole-conv fallbacks on realistic scenes with the shipped windows, and
+    must fire on an adversarial scene (a sparse voxel layer above a dense
+    one: the subm dz taps of a 256-output block then span the whole dense
+    plane, far past window_large)."""
+    from sessd_tpu.models.detector import VoxelNet
+    from sessd_tpu.ops.voxelize import KITTI_VOXELIZER
+    from sessd_tpu.serve import (HostPreprocessor, fallback_telemetry,
+                                 window_config_from_detector)
+    from sessd_tpu.utils.synth_scene import make_scene
+
+    prep = HostPreprocessor(KITTI_VOXELIZER)
+    wcfg = window_config_from_detector(
+        VoxelNet(sparse_shape=KITTI_VOXELIZER.sparse_shape))
+
+    tel = fallback_telemetry(
+        prep(np.asarray(make_scene(seed=0)[0]))["rulebooks"],
+        prep.caps, wcfg)
+    assert tel["fallback_convs"] == 0
+    # two-level windows: a handful of long-span blocks route to the patch
+    # kernel instead of falling back
+    assert 0 < tel["patched_blocks"] < 64
+
+    # ids are z-minor ((b*H + y)*W + x)*D + z (native/rulebook.cpp:14), so
+    # a SPARSE y-row between two x-dense multi-z rows is the span killer: a
+    # 256-output block straddling the sparse row covers its full x range,
+    # and its dy taps then source the adjacent dense row end to end
+    # (~1408 x * 3 z = 4224 cells >> window_large)
+    # voxel-center coordinates (off-center points round into neighbouring
+    # rows in f32 and collapse the pattern)
+    xc = (np.arange(1408) + 0.5) * 0.05
+    yc = lambda idx: -40.0 + (idx + 0.5) * 0.05
+    zc = np.array([-2.95, -2.85, -2.75])
+    dense_rows, sparse_rows = [], []
+    for yi in (800, 802):  # dense rows flanking the sparse one
+        gx, gz = np.meshgrid(xc, zc)
+        dense_rows.append(np.stack(
+            [gx.ravel(), np.full(gx.size, yc(yi)), gz.ravel(),
+             np.zeros(gx.size)], 1))
+    xsp = xc[::50]  # sparse row between them (y index 801)
+    sparse_rows.append(np.stack(
+        [xsp, np.full(xsp.size, yc(801)), np.full(xsp.size, -2.85),
+         np.zeros(xsp.size)], 1))
+    pts = np.concatenate(dense_rows + sparse_rows).astype(np.float32)
+    tel2 = fallback_telemetry(prep(pts)["rulebooks"], prep.caps, wcfg)
+    assert tel2["fallback_convs"] >= 1
+    assert any(c["fallback"] for c in tel2["convs"].values())
