@@ -107,3 +107,61 @@ def rotate_weighted_nms_np(
     return (np.stack(boxes_ret), np.asarray(dirs_ret, np.int32),
             np.asarray(labels_ret, np.int32), np.asarray(scores_ret),
             np.asarray(keep, np.int32))
+
+
+def rotate_nms_np(boxes5: np.ndarray, scores: np.ndarray,
+                  iou_threshold: float, pre_max_size: int = 1000,
+                  post_max_size: int = 100) -> np.ndarray:
+    """Literal host port of the reference's PLAIN rotated NMS — the golden
+    oracle for ``core.nms.rotate_nms``.
+
+    Follows ``rotate_non_max_suppression_cpu`` (det3d/ops/nms/nms_cpu.h:
+    72-170) plus its wrappers ``rotate_nms_cc`` (nms_cpu.py:37-48) and
+    ``box_torch_ops.rotate_nms`` (:527-548) statement by statement:
+    score-descending greedy sweep; pairs are skipped when the standup
+    (axis-aligned bbox) IoU is <= 0; otherwise suppress at
+    polygon-IoU >= thresh (inclusive — our device kernel uses strict >,
+    indistinguishable off ties); keep order truncated to post_max_size.
+
+    Returns indices into the input arrays, in keep (score-descending) order.
+    """
+    from .rotated_iou_np import overlap_bev_matrix
+
+    n = scores.shape[0]
+    pre = min(n, pre_max_size)
+    top = np.argsort(-scores, kind="stable")[:pre]  # torch.topk
+    b = np.asarray(boxes5[top], np.float64)
+    s = scores[top]
+    order = np.argsort(-s, kind="stable")
+
+    # standup prefilter (corner_to_standup_nd + iou_jit eps=0: only the
+    # sign of the AABB overlap matters)
+    half = b[:, 2:4] / 2
+    c, si = np.cos(b[:, 4]), np.sin(b[:, 4])
+    ex = np.abs(half[:, 0] * c) + np.abs(half[:, 1] * si)
+    ey = np.abs(half[:, 0] * si) + np.abs(half[:, 1] * c)
+    lo = b[:, :2] - np.stack([ex, ey], 1)
+    hi = b[:, :2] + np.stack([ex, ey], 1)
+    iw = (np.minimum(hi[:, None, 0], hi[None, :, 0])
+          - np.maximum(lo[:, None, 0], lo[None, :, 0]))
+    ih = (np.minimum(hi[:, None, 1], hi[None, :, 1])
+          - np.maximum(lo[:, None, 1], lo[None, :, 1]))
+    standup_pos = (iw > 0) & (ih > 0)
+
+    area = b[:, 2] * b[:, 3]
+    suppressed = np.zeros(pre, bool)
+    keep = []
+    for _i in range(pre):
+        i = order[_i]
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for _j in range(_i + 1, pre):
+            j = order[_j]
+            if suppressed[j] or not standup_pos[i, j]:
+                continue
+            inter = overlap_bev_matrix(b[i:i + 1], b[j:j + 1])[0, 0]
+            union = area[i] + area[j] - inter
+            if union > 0 and inter / union >= iou_threshold:
+                suppressed[j] = True
+    return top[np.asarray(keep[:post_max_size], np.int64)]

@@ -91,3 +91,51 @@ def test_dinms_two_labels_and_padding():
     np.testing.assert_allclose(out_b[:m], ref[0][:m], rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(out_l[:m], ref[2][:m])
     np.testing.assert_allclose(out_s[:m], ref[3][:m], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_plain_rotate_nms_matches_host_port(seed):
+    """Plain rotated NMS index-exact vs the literal port of
+    rotate_non_max_suppression_cpu (nms_cpu.h:72-170)."""
+    from sessd_tpu.core.nms import rotate_nms
+    from sessd_tpu.core.nms_np import rotate_nms_np
+
+    rng = np.random.RandomState(seed)
+    b7 = _clustered_boxes(rng, n_clusters=8, max_per=8)
+    n = b7.shape[0]
+    b5 = b7[:, [0, 1, 3, 4, 6]]
+    scores = rng.uniform(0.05, 1.0, n).astype(np.float32)
+
+    for thresh in (0.01, 0.3):
+        ref = rotate_nms_np(b5, scores, thresh, pre_max_size=n,
+                            post_max_size=100)
+        idx, valid = rotate_nms(jnp.asarray(b5), jnp.asarray(scores),
+                                pre_max_size=n, post_max_size=100,
+                                iou_threshold=thresh)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        m = int(valid.sum())
+        assert m == len(ref), (m, len(ref), thresh)
+        np.testing.assert_array_equal(idx[:m], ref)
+
+
+def test_plain_rotate_nms_padding_and_premax():
+    """-inf-padded rows never surface; pre_max_size truncates by score."""
+    from sessd_tpu.core.nms import rotate_nms
+    from sessd_tpu.core.nms_np import rotate_nms_np
+
+    rng = np.random.RandomState(11)
+    b7 = _clustered_boxes(rng)
+    n = b7.shape[0]
+    b5 = np.concatenate([b7[:, [0, 1, 3, 4, 6]],
+                         np.zeros((16, 5), np.float32)])
+    scores = np.concatenate([rng.uniform(0.1, 1.0, n).astype(np.float32),
+                             np.full(16, -np.inf, np.float32)])
+    ref = rotate_nms_np(b5[:n], scores[:n], 0.1, pre_max_size=12,
+                        post_max_size=8)
+    idx, valid = rotate_nms(jnp.asarray(b5), jnp.asarray(scores),
+                            pre_max_size=12, post_max_size=8,
+                            iou_threshold=0.1)
+    idx, valid = np.asarray(idx), np.asarray(valid)
+    m = int(valid.sum())
+    assert m == len(ref)
+    np.testing.assert_array_equal(idx[:m], ref)
