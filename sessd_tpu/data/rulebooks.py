@@ -120,3 +120,24 @@ def make_train_rulebook_transform(
         return out
 
     return transform
+
+
+def build_sharded_batch_rulebooks(coords, mask, sparse_shape, stage_capacity,
+                                  num_shards, native=None, downs=None):
+    """Per-shard chains with a leading [num_shards] axis for shard_map
+    consumers (the eval twin of make_train_rulebook_transform's layout).
+    Returns None without the native library."""
+    coords = np.asarray(coords)
+    mask = np.asarray(mask)
+    b = coords.shape[0]
+    assert b % num_shards == 0, (b, num_shards)
+    lb = b // num_shards
+    shards = []
+    for s in range(num_shards):
+        rb = build_batch_rulebooks(
+            coords[s * lb:(s + 1) * lb], mask[s * lb:(s + 1) * lb],
+            sparse_shape, stage_capacity, native=native, downs=downs)
+        if rb is None:
+            return None
+        shards.append(rb)
+    return _tree_stack(shards)

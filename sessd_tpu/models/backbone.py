@@ -226,6 +226,11 @@ class SpMiddleFHD(nn.Module):
     subm_windows_small: Tuple[int, ...] = (512, 512, 640, 640)
     down_windows_small: Tuple[int, ...] = (640, 1024, 1024, 512)
     fused_block: int = 256
+    # max patch-kernel blocks per conv before the whole conv falls back to
+    # the gather path; per-(chain) over-span counts scale with the batch
+    # (batched serving stacks scenes into one chain), so batched plans need
+    # roughly batch x the single-scene count
+    patch_max: int = 32
 
     @nn.compact
     def __call__(self, voxel_features, coords_bzyx, valid, batch_size: int,
@@ -327,6 +332,7 @@ class SpMiddleFHD(nn.Module):
                                          cols_for(caps[stage - 1],
                                                   self.fused_block),
                                          window=dw, window_large=dwl,
+                                         patch_max=self.patch_max,
                                          block=self.fused_block)
                     x_t = block(feats, int(np.prod(dk)), dk,
                                 window=dw, window_large=dwl, fused=True)(
@@ -341,6 +347,7 @@ class SpMiddleFHD(nn.Module):
                                          cols_for(caps[stage],
                                                   self.fused_block),
                                          window=sw, window_large=swl,
+                                         patch_max=self.patch_max,
                                          block=self.fused_block)
                     for _ in range(n_subm):
                         x_t = block(feats, 27, window=sw, window_large=swl,

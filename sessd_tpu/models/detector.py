@@ -32,7 +32,10 @@ class VoxelNet(nn.Module):
     # per-stage Pallas window overrides (None = backbone defaults)
     subm_windows: tuple = None
     down_windows: tuple = None
+    subm_windows_small: tuple = None
+    down_windows_small: tuple = None
     fused_block: int = 0  # pallas grid block override (0 = backbone default)
+    patch_max: int = 0  # patch-kernel capacity override (0 = backbone default)
     # rematerialize backbone blocks in backward (required for f32 batch-4 on
     # 16G HBM; bf16 compute fits without it and steps faster)
     backbone_remat: bool = True
@@ -62,7 +65,12 @@ class VoxelNet(nn.Module):
                if self.subm_windows else {}),
             **({"down_windows": tuple(self.down_windows)}
                if self.down_windows else {}),
+            **({"subm_windows_small": tuple(self.subm_windows_small)}
+               if self.subm_windows_small else {}),
+            **({"down_windows_small": tuple(self.down_windows_small)}
+               if self.down_windows_small else {}),
             **({"fused_block": self.fused_block} if self.fused_block else {}),
+            **({"patch_max": self.patch_max} if self.patch_max else {}),
         )(feats, coords_bzyx, valid, batch_size, self.sparse_shape, train,
           rulebooks=rulebooks)
         bev = SSFA(axis_name=self.axis_name, dtype=self.dtype, name="neck")(bev, train)

@@ -135,7 +135,7 @@ def _span_stats(rb: np.ndarray, n_in: int, window: int, window_large: int,
             "fallback": fallback}
 
 
-def fallback_telemetry(rulebooks, caps, model, patch_max: int = 32) -> dict:
+def fallback_telemetry(rulebooks, caps, model, patch_max: int = 0) -> dict:
     """Per-conv span telemetry for a host-built rulebook chain.
 
     Computes, host-side, exactly what prep_rulebook will decide in-graph
@@ -146,6 +146,7 @@ def fallback_telemetry(rulebooks, caps, model, patch_max: int = 32) -> dict:
     batched per-stage capacities matching the chain; `model` supplies the
     configured windows (SpMiddleFHD fields).
     """
+    patch_max = patch_max or getattr(model, "patch_max", 32)
     convs = {}
     for i in range(4):
         small = model.subm_windows_small[i] or model.subm_windows[i]
@@ -171,12 +172,14 @@ def window_config_from_detector(detector):
     from .models.backbone import SpMiddleFHD
 
     kw = {}
-    if getattr(detector, "subm_windows", None):
-        kw["subm_windows"] = tuple(detector.subm_windows)
-    if getattr(detector, "down_windows", None):
-        kw["down_windows"] = tuple(detector.down_windows)
+    for name in ("subm_windows", "down_windows", "subm_windows_small",
+                 "down_windows_small"):
+        if getattr(detector, name, None):
+            kw[name] = tuple(getattr(detector, name))
     if getattr(detector, "fused_block", 0):
         kw["fused_block"] = detector.fused_block
+    if getattr(detector, "patch_max", 0):
+        kw["patch_max"] = detector.patch_max
     return SpMiddleFHD(**kw)
 
 

@@ -146,11 +146,14 @@ class Trainer:
         self.anchors_np = self.train_dataset.anchors.astype(np.float32)
         self.anchors = jnp.asarray(self.anchors_np)
         self._eval_fn = None
-        # host rulebooks for eval batches (non-mesh path only; the sharded
-        # eval keeps in-graph construction): enables the serving plan
+        # host rulebooks for eval batches: enables the fused serving plan.
+        # Under a (single-host) mesh the chains are built per shard with a
+        # leading shard axis, exactly like the training transform.
         self._eval_rb = (cfg.data.get("host_rulebooks", True)
-                         and self.mesh is None
                          and hasattr(self.model, "stage_capacity"))
+        self._eval_rb_shards = (self.mesh.size
+                                if self.mesh is not None
+                                and self.num_hosts == 1 else 1)
 
     # ------------------------------------------------------------------
     def resume(self):
@@ -280,20 +283,55 @@ class Trainer:
             # reference's pickled eval gather (SURVEY §2.3)
             from jax.sharding import PartitionSpec as P
 
-            return jax.jit(jax.shard_map(
+            plain = jax.jit(jax.shard_map(
                 eval_fn, mesh=self.mesh,
                 in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                           P(DATA_AXIS), P(DATA_AXIS)),
                 out_specs=P(DATA_AXIS),
                 check_vma=False,
             ))
-        return jax.jit(eval_fn)
+
+            def eval_fn_rb(params, batch_stats, voxels, coords, num_points,
+                           mask, frustum, rulebooks):
+                # per-shard chain arrives as a [1, ...] slice of the
+                # leading shard axis (data/rulebooks.py layout)
+                rb = jax.tree_util.tree_map(lambda a: jnp.squeeze(a, 0),
+                                            rulebooks)
+                return eval_fn(params, batch_stats, voxels, coords,
+                               num_points, mask, frustum, rulebooks=rb)
+
+            with_rb = jax.jit(jax.shard_map(
+                eval_fn_rb, mesh=self.mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            ))
+
+            def run(args, rb=None):
+                return plain(*args) if rb is None else with_rb(*args, rb)
+
+            return run
+
+        jitted = jax.jit(eval_fn)
+
+        def run(args, rb=None):
+            return jitted(*args) if rb is None else jitted(*args, rb)
+
+        return run
 
 
     def _batch_rulebooks(self, batch):
         """Host C++ chain for a padded eval batch (None -> in-graph)."""
         if not self._eval_rb:
             return None
+        if self._eval_rb_shards > 1:
+            from ..data.rulebooks import build_sharded_batch_rulebooks
+
+            return build_sharded_batch_rulebooks(
+                batch["coords"], batch["voxel_mask"],
+                self.model.sparse_shape, self.model.stage_capacity,
+                self._eval_rb_shards)
         from ..data.rulebooks import build_batch_rulebooks
 
         return build_batch_rulebooks(
@@ -334,8 +372,7 @@ class Trainer:
                 jnp.asarray(batch["num_points"]), jnp.asarray(batch["voxel_mask"]),
                 jnp.asarray(batch["frustum"]))
             rb = self._batch_rulebooks(batch)
-            dets = (self._eval_fn(*args) if rb is None
-                    else self._eval_fn(*args, rb))
+            dets = self._eval_fn(args, rb)
             dets = jax.device_get(dets)
             for i in range(nb):
                 valid = dets["valid"][i]
@@ -347,16 +384,131 @@ class Trainer:
                 })
         return detections
 
+    def _validate_multihost(self, use_ema: bool, max_batches: Optional[int]):
+        """Sharded multi-host eval: each host runs inference on its
+        contiguous per-host slice of the val split (same padded-equal
+        sharding as training loaders), then the fixed-shape detection
+        buffers + image ids are all-gathered over the coordination backend
+        (multihost_utils.process_allgather — variable-size pickled gathers
+        don't exist on TPU, so buffers are post_max_size-padded with valid
+        masks). Host 0 merges by dataset index and computes AP; other hosts
+        participate in the gather and return None.
+
+        ALL hosts must call this with the same max_batches (collective)."""
+        from jax.experimental import multihost_utils
+
+        if self._eval_fn is None:
+            self._eval_fn = self._build_eval_fn()
+        params = self.state.ema_params if use_ema else self.state.params
+        stats = self.state.ema_batch_stats if use_ema else self.state.batch_stats
+        params = jax.device_get(params)
+        stats = jax.device_get(stats)
+
+        loader = getattr(self, "_mh_val_loader", None)
+        if loader is None:
+            loader = builder.build_dataloader(
+                self.cfg, self.val_dataset, shuffle=False, seed=self.seed,
+                num_shards=self.num_hosts, shard_index=self.host_id)
+            self._mh_val_loader = loader
+
+        full_b = self.cfg.data["samples_per_gpu"]
+        ids, boxes, scores, labels, valids = [], [], [], [], []
+        for bi, batch in enumerate(loader):
+            if max_batches is not None and bi >= max_batches:
+                break
+            nb = batch["voxels"].shape[0]
+            if nb < full_b:
+                pad = full_b - nb
+                batch = dict(batch, **{
+                    k: np.concatenate(
+                        [batch[k], np.zeros((pad,) + batch[k].shape[1:],
+                                            batch[k].dtype)])
+                    for k in ("voxels", "coords", "num_points", "voxel_mask",
+                              "frustum")})
+            args = (
+                params, stats,
+                jnp.asarray(batch["voxels"]), jnp.asarray(batch["coords"]),
+                jnp.asarray(batch["num_points"]), jnp.asarray(batch["voxel_mask"]),
+                jnp.asarray(batch["frustum"]))
+            rb = self._batch_rulebooks(batch)
+            dets = jax.device_get(self._eval_fn(args, rb))
+            for i, meta in enumerate(batch["metadata"]):
+                ids.append(np.int32(meta["image_idx"]))
+                boxes.append(dets["box3d_lidar"][i])
+                scores.append(dets["scores"][i])
+                labels.append(dets["label_preds"][i])
+                valids.append(dets["valid"][i])
+
+        # identical per-host sample count (same formula as the loader's
+        # padded-equal sharding), so the gather shapes agree everywhere
+        cap = -(-len(self.val_dataset) // self.num_hosts)
+        if max_batches is not None:
+            cap = min(cap, max_batches * full_b)
+        post = boxes[0].shape[0]
+        code = boxes[0].shape[1]
+
+        def fix(lst, shape, dtype, fill=0):
+            a = np.full((cap,) + shape, fill, dtype)
+            n = min(len(lst), cap)
+            if n:
+                a[:n] = np.stack(lst[:n]).astype(dtype)
+            return a
+
+        local = (
+            fix(ids, (), np.int32, -1),
+            fix(boxes, (post, code), np.float32),
+            fix(scores, (post,), np.float32),
+            fix(labels, (post,), np.int32),
+            fix(valids, (post,), bool),
+        )
+        g_ids, g_boxes, g_scores, g_labels, g_valid = (
+            np.asarray(a) for a in multihost_utils.process_allgather(local))
+        if self.host_id != 0:
+            return None
+
+        id_to_index = {int(info["image"]["image_idx"]): i
+                       for i, info in enumerate(self.val_dataset.infos)}
+        dets_by_index = {}
+        for h in range(self.num_hosts):
+            for r in range(cap):
+                iid = int(g_ids[h, r])
+                if iid < 0 or iid not in id_to_index:
+                    continue
+                di = id_to_index[iid]
+                if di in dets_by_index:  # wrap-padded duplicate shard rows
+                    continue
+                v = g_valid[h, r]
+                dets_by_index[di] = {
+                    "box3d_lidar": g_boxes[h, r][v],
+                    "scores": g_scores[h, r][v],
+                    "label_preds": g_labels[h, r][v],
+                    "metadata": {"image_idx": iid},
+                }
+        n_eval = (len(self.val_dataset) if max_batches is None
+                  else min(len(self.val_dataset), len(dets_by_index)))
+        empty = {"box3d_lidar": np.zeros((0, code), np.float32),
+                 "scores": np.zeros((0,), np.float32),
+                 "label_preds": np.zeros((0,), np.int32),
+                 "metadata": None}
+        detections = [dets_by_index.get(i, empty) for i in range(n_eval)]
+        results, _ = self.val_dataset.evaluation(detections)
+        if results is not None:
+            from ..data.kitti_eval import format_results
+
+            self.logger.info("\n" + format_results(results))
+        return results
+
     def validate(self, use_ema: bool = False, max_batches: Optional[int] = None):
         """Run the student over the val split and compute official AP
         (trainer_sessd.py:362-415 val workflow).
 
-        Multi-host: host 0 evaluates the full val split locally (ending in
-        the same state as the reference's rank-0 pickle gather,
-        trainer/utils.py:115-157); other hosts return None and rejoin at
-        the next jitted train step."""
-        if self.num_hosts > 1 and self.host_id != 0:
-            return None
+        Multi-host: every host evaluates its val-split shard; the
+        fixed-shape detection buffers are gathered to all hosts and host 0
+        merges + computes AP (the TPU equivalent of the reference's
+        per-rank eval + pickled all_gather, tools/dist_test.py,
+        trainer/utils.py:115-157)."""
+        if self.num_hosts > 1:
+            return self._validate_multihost(use_ema, max_batches)
         if self._eval_fn is None:
             self._eval_fn = self._build_eval_fn()
         params = self.state.ema_params if use_ema else self.state.params
@@ -384,8 +536,7 @@ class Trainer:
                 jnp.asarray(batch["num_points"]), jnp.asarray(batch["voxel_mask"]),
                 jnp.asarray(batch["frustum"]))
             rb = self._batch_rulebooks(batch)
-            dets = (self._eval_fn(*args) if rb is None
-                    else self._eval_fn(*args, rb))
+            dets = self._eval_fn(args, rb)
             dets = jax.device_get(dets)
             for i, meta in enumerate(batch["metadata"]):
                 valid = dets["valid"][i]

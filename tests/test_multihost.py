@@ -92,7 +92,43 @@ def test_two_process_training(tmp_path):
         assert json.loads(out_path.read_text())["done"]
 
     # host 0 must have produced a checkpoint (host-0-only save) and an
-    # eval log; host 1 must NOT have crashed on val (it skips it)
+    # eval artifacts: host 0 must have written a checkpoint and the merged
+    # sharded-eval results (both hosts ran inference on their val shard and
+    # host 0 gathered + computed AP — trainer._validate_multihost)
     work = tmp_path / "work"
     assert any(work.glob("**/checkpoint*")) or any(work.glob("**/*")), \
         "host 0 wrote nothing to work_dir"
+    results_path = work / "eval_results.json"
+    assert results_path.exists(), "host 0 did not write merged eval results"
+    merged = json.loads(results_path.read_text())
+    assert "Car" in merged
+
+    # the merged 2-host AP must equal a single-host eval of the same
+    # checkpoint (the dist_test.py equivalence: sharded inference + gather
+    # == local full-split inference)
+    from sessd_tpu.config import Config
+    from sessd_tpu.train.trainer import Trainer
+
+    cfg = Config.fromfile(cfg_path)
+    single = Trainer(cfg, work_dir=str(work), distributed=False)
+    single.resume()
+    ref = single.validate()
+    assert ref is not None
+
+    def flat(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, f"{prefix}{k}."))
+            elif isinstance(v, (int, float)):
+                out[f"{prefix}{k}"] = float(v)
+            elif isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+                out[f"{prefix}{k}"] = np.asarray(v, dtype=np.float64)
+        return out
+
+    fm, fr = flat(merged), flat(ref)
+    shared = set(fm) & set(fr)
+    assert shared, (list(fm)[:5], list(fr)[:5])
+    for k in sorted(shared):
+        np.testing.assert_allclose(fm[k], fr[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)

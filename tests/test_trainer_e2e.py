@@ -141,7 +141,9 @@ def test_trainer_end_to_end(tmp_path):
 
     # the single-process eval path (tools/test.py: distributed=False) uses
     # host rulebooks + the all-sparse serving plan; same checkpoint must
-    # yield the same detections as the sharded in-graph-rulebook eval
+    # yield the same detections as the sharded eval (which, when the native
+    # lib is present, now ALSO uses per-shard host rulebook chains — this
+    # comparison is the sharded-vs-single host-rb equivalence test)
     trainer3 = Trainer(cfg, work_dir=str(work), distributed=False)
     trainer3.resume()
     if trainer3._eval_rb:

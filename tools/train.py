@@ -68,7 +68,23 @@ def main():
         trainer.load_from(load_from)
     if args.resume_from or cfg.get("resume_from"):
         trainer.resume()
-    trainer.run()
+    results = trainer.run()
+    if results is not None and trainer.host_id == 0:
+        import json
+
+        def _plain(o):
+            if isinstance(o, dict):
+                return {k: _plain(v) for k, v in o.items()}
+            if isinstance(o, (list, tuple)):
+                return [_plain(v) for v in o]
+            if hasattr(o, "tolist"):
+                return o.tolist()
+            return o
+
+        path = os.path.join(work_dir, "eval_results.json")
+        with open(path, "w") as f:
+            json.dump(_plain(results), f, indent=1)
+        trainer.logger.info(f"wrote {path}")
 
 
 if __name__ == "__main__":
