@@ -35,6 +35,11 @@ CONFIGS = {
     "b4safe": dict(subm_windows_small=(384, 512, 384, 384),
                    down_windows_small=(640, 768, 768, 384),
                    patch_max=32),
+    # b4safe with down1 restored to 1024 (its batched over-count is 36-38,
+    # past patch_max at 768)
+    "b4final": dict(subm_windows_small=(384, 512, 384, 384),
+                    down_windows_small=(640, 1024, 768, 384),
+                    patch_max=32),
 }
 
 

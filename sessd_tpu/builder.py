@@ -148,6 +148,10 @@ def build_dataloader(cfg, dataset, shuffle: bool, seed: int = 0,
         drop_last=shuffle,
         num_shards=num_shards,
         shard_index=shard_index,
+        # "process" spawns per-worker dataset replicas (the reference's
+        # DataLoader worker model) — the pure-python augmentation then
+        # scales past one core; "thread" is the 1-core-safe default
+        worker_type=cfg.data.get("worker_type", "thread"),
     )
 
 

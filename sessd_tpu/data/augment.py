@@ -168,26 +168,6 @@ def noise_per_object(
 # GT-AUG database sampler
 # ---------------------------------------------------------------------------
 
-class _EpochSampler:
-    """Shuffled without-replacement cyclic sampler (sample_ops.BatchSampler)."""
-
-    def __init__(self, n: int, rng: np.random.RandomState):
-        self._n = n
-        self._rng = rng
-        self._order = rng.permutation(n)
-        self._pos = 0
-
-    def sample(self, k: int) -> np.ndarray:
-        if k >= self._n:
-            k = self._n
-        if self._pos + k > self._n:
-            self._order = self._rng.permutation(self._n)
-            self._pos = 0
-        out = self._order[self._pos : self._pos + k]
-        self._pos += k
-        return out
-
-
 @dataclass
 class GroundTruthSampler:
     """GT-AUG: paste database objects into the scene (sample_ops.py:13-320).
@@ -219,29 +199,30 @@ class GroundTruthSampler:
             ]
             self._infos[cls] = keep
         self._rng = np.random.RandomState(self.seed)
-        self._samplers = {
-            cls: _EpochSampler(len(infos), self._rng)
-            for cls, infos in self._infos.items() if len(infos)
-        }
 
-    def reseed(self, seed: int):
-        self._rng = np.random.RandomState(seed)
-        self._samplers = {
-            cls: _EpochSampler(len(infos), self._rng)
-            for cls, infos in self._infos.items() if len(infos)
-        }
+    def sample_all(self, gt_boxes: np.ndarray, gt_names: np.ndarray,
+                   rng: Optional[np.random.RandomState] = None):
+        """Returns None or dict(gt_boxes [S, 7], gt_names [S], points [P, F]).
 
-    def sample_all(self, gt_boxes: np.ndarray, gt_names: np.ndarray):
-        """Returns None or dict(gt_boxes [S, 7], gt_names [S], points [P, F])."""
+        ``rng``: the caller's per-(epoch, sample) RandomState. Draws are iid
+        without replacement per call — a pure function of the rng, so the
+        pipeline is deterministic and thread/process-worker agnostic. (The
+        reference's BatchSampler keeps a shuffled epoch queue per WORKER
+        PROCESS — its own multiprocess loader already breaks the global
+        queue into independent per-worker streams, so iid draws match its
+        effective statistics while removing the shared mutable state that a
+        threaded loader would race on.)"""
+        rng = rng if rng is not None else self._rng
         sampled_boxes, sampled_names, sampled_infos = [], [], []
         avoid = gt_boxes.copy()
         for cls, max_num in self.sample_groups.items():
-            if cls not in self._samplers:
+            n_cls = len(self._infos.get(cls, ()))
+            if n_cls == 0:
                 continue
             want = int(round(self.rate * (max_num - int(np.sum(gt_names == cls)))))
             if want <= 0:
                 continue
-            idx = self._samplers[cls].sample(want)
+            idx = rng.choice(n_cls, size=min(want, n_cls), replace=False)
             cand_infos = [self._infos[cls][j] for j in idx]
             cand_boxes = np.stack([i["box3d_lidar"] for i in cand_infos]).astype(np.float64)
 

@@ -18,6 +18,22 @@ from typing import Iterator, Optional
 import numpy as np
 
 
+_WORKER_DATASET = None
+
+
+def _process_worker_init(payload: bytes):
+    """Runs once in each spawned loader worker: materialize the dataset."""
+    global _WORKER_DATASET
+    import pickle
+
+    _WORKER_DATASET = pickle.loads(payload)
+
+
+def _process_worker_load(idx: int, rng_seed: int):
+    rng = np.random.RandomState(rng_seed)
+    return _WORKER_DATASET.get_sensor_data(int(idx), rng=rng)
+
+
 def _stack_examples(examples) -> dict:
     out = {}
     for k, v in examples[0].items():
@@ -44,6 +60,7 @@ class DataLoader:
         prefetch: int = 2,
         group_flags: Optional[np.ndarray] = None,
         batch_transform=None,
+        worker_type: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -58,6 +75,15 @@ class DataLoader:
         # (e.g. data.rulebooks.make_train_rulebook_transform: host C++
         # sparse-conv rulebooks, so the device step does no construction)
         self.batch_transform = batch_transform
+        # "thread": GIL-shared workers — fine when the per-sample work is
+        # numpy/BLAS/native (releases the GIL), the 1-core fallback, and the
+        # only choice for unpicklable datasets. "process": spawned workers
+        # each holding a dataset replica — the reference's DataLoader model
+        # (build_loader.py:23-57); ~145 ms/sample of the augmentation is
+        # small-op pure python that threads cannot parallelize.
+        self.worker_type = worker_type
+        self._pool = None       # persistent across epochs (spawn is slow)
+        self._assemble_pool = None
         self.epoch = 0
         # group-aware batching (GroupSampler / DistributedGroupSampler,
         # det3d/datasets/loader/sampler.py:98-222): every batch is composed
@@ -122,7 +148,55 @@ class DataLoader:
         n = len(self._epoch_indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _sample_seed(self, idx: int) -> int:
+        # deterministic per-(epoch, sample) rng — identical for thread and
+        # process workers, so the two paths produce identical batches
+        return (self.seed * 1_000_003 + self.epoch * 131_071 + int(idx)) % (2 ** 31)
+
+    def _ensure_process_pool(self):
+        if self._pool is not None:
+            return True
+        import multiprocessing
+        import pickle
+
+        try:
+            payload = pickle.dumps(self.dataset)
+        except Exception:  # unpicklable dataset: stay on threads
+            self.worker_type = "thread"
+            return False
+        # spawn (never fork): forked children deadlock against JAX/XLA
+        # runtime threads
+        ctx = multiprocessing.get_context("spawn")
+        self._pool = concurrent.futures.ProcessPoolExecutor(
+            max_workers=self.num_workers, mp_context=ctx,
+            initializer=_process_worker_init, initargs=(payload,))
+        # assembly (np.stack + batch_transform, e.g. host C++ rulebooks)
+        # overlaps the device step in threads of the parent; the native
+        # calls release the GIL
+        self._assemble_pool = concurrent.futures.ThreadPoolExecutor(2)
+        return True
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+        if self._assemble_pool is not None:
+            self._assemble_pool.shutdown(wait=False, cancel_futures=True)
+            self._assemble_pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __iter__(self) -> Iterator[dict]:
+        if self.worker_type == "process" and self._ensure_process_pool():
+            yield from self._iter_process()
+            return
+        yield from self._iter_thread()
+
+    def _iter_thread(self) -> Iterator[dict]:
         indices = self._epoch_indices()
         nb = len(self)
         batches = [indices[i * self.batch_size : (i + 1) * self.batch_size]
@@ -130,9 +204,7 @@ class DataLoader:
 
         def load_one(args):
             pos, idx = args
-            # deterministic per-(epoch, sample) rng
-            rng = np.random.RandomState(
-                (self.seed * 1_000_003 + self.epoch * 131_071 + int(idx)) % (2 ** 31))
+            rng = np.random.RandomState(self._sample_seed(idx))
             return self.dataset.get_sensor_data(int(idx), rng=rng)
 
         def assemble(futs):
@@ -164,3 +236,36 @@ class DataLoader:
                 fut = pending.pop(0)
                 submit_next()
                 yield fut.result()
+
+    def _iter_process(self) -> Iterator[dict]:
+        indices = self._epoch_indices()
+        nb = len(self)
+        batches = [indices[i * self.batch_size : (i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        def assemble(futs):
+            batch = _stack_examples([f.result() for f in futs])
+            if self.batch_transform is not None:
+                batch = self.batch_transform(batch)
+            return batch
+
+        pending = []
+        it = iter(batches)
+
+        def submit_next():
+            try:
+                b = next(it)
+            except StopIteration:
+                return False
+            futs = [self._pool.submit(_process_worker_load, int(idx),
+                                      self._sample_seed(idx)) for idx in b]
+            pending.append(self._assemble_pool.submit(assemble, futs))
+            return True
+
+        for _ in range(self.prefetch + 1):
+            if not submit_next():
+                break
+        while pending:
+            fut = pending.pop(0)
+            submit_next()
+            yield fut.result()

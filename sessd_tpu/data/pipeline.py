@@ -138,7 +138,7 @@ class Pipeline:
 
         # GT-AUG paste (preprocess.py:84-110)
         if self.sampler is not None:
-            sampled = self.sampler.sample_all(gt_boxes, gt_names)
+            sampled = self.sampler.sample_all(gt_boxes, gt_names, rng=rng)
             if sampled is not None:
                 gt_boxes = np.concatenate([gt_boxes, sampled["gt_boxes"]])
                 gt_names = np.concatenate([gt_names, sampled["gt_names"]])

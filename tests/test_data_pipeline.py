@@ -132,3 +132,40 @@ def test_evaluation_with_perfect_detections(kitti_root):
     assert (np.sort(ov.ravel())[-3:] > 0.95).all()
     for metric in ("bbox", "bev", "3d"):
         assert results["Car"][metric][1]["AP11"] > 27.0
+
+
+def test_process_workers_match_thread_workers(kitti_root):
+    """Spawned process workers (the reference's DataLoader worker model,
+    build_loader.py:23-57) must yield batches bit-identical to the thread
+    path: the per-(epoch, sample) rng seed is computed in the parent either
+    way. Also checks pool reuse across epochs."""
+    root, info_path, gt = kitti_root
+    sampler = GroundTruthSampler(
+        db_info_path=str(root / "dbinfos_train.pkl"), root_path=str(root),
+        sample_groups={"Car": 6}, min_points={"Car": 5})
+
+    def make(worker_type):
+        ds = KittiDataset(str(root), str(info_path), mode="train",
+                          pipeline_cfg=SMALL_CFG, sampler=sampler)
+        return DataLoader(ds, batch_size=2, shuffle=True, seed=5,
+                          num_workers=2, worker_type=worker_type)
+
+    dl_t, dl_p = make("thread"), make("process")
+    try:
+        for epoch in (0, 1):
+            dl_t.set_epoch(epoch)
+            dl_p.set_epoch(epoch)
+            for bt, bp in zip(dl_t, dl_p):
+                assert set(bt) == set(bp)
+                for k, v in bt.items():
+                    if k in ("metadata", "calib"):
+                        continue
+                    if isinstance(v, dict):
+                        for kk in v:
+                            np.testing.assert_array_equal(
+                                v[kk], bp[k][kk], err_msg=f"{k}.{kk}")
+                    else:
+                        np.testing.assert_array_equal(v, bp[k], err_msg=k)
+        assert dl_p.worker_type == "process", "silently fell back to threads"
+    finally:
+        dl_p.close()
