@@ -96,8 +96,12 @@ def main():
     if mode == "host" and get_native() is None:
         mode = "device"
 
+    from sessd_tpu.serve import serving_window_config
+
+    # measured-optimal Pallas windows (batch-dependent; serve.py A/B notes)
     model = VoxelNet(sparse_shape=sparse_shape, dtype=dtype,
-                     dense_from_stage=dfs, conv_impl=conv_impl)
+                     dense_from_stage=dfs, conv_impl=conv_impl,
+                     **serving_window_config(1))
     anchors = jnp.asarray(
         create_anchors_3d_range([1, 200, 176], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
         .reshape(-1, 7))
@@ -196,7 +200,10 @@ def main():
                                         p["rulebooks"]))
                 for p in pb
             ]
-            inferb = make_infer_fn(model, variables, anchors, cfg, caps,
+            # same params, batch-tuned execution plan (windows are plan
+            # config only — the param tree is identical)
+            model_b = model.clone(**serving_window_config(bsz))
+            inferb = make_infer_fn(model_b, variables, anchors, cfg, caps,
                                    batch_size=bsz)
             out = inferb(variables, *stagedb[0])
             fetch(out)
@@ -210,7 +217,8 @@ def main():
             fetch(out)
             dtb = time.perf_counter() - t0
             telb = [fallback_telemetry(p["rulebooks"],
-                                       [c * bsz for c in caps], wcfg)
+                                       [c * bsz for c in caps],
+                                       window_config_from_detector(model_b))
                     for p in pb]
             extra.update({
                 f"batch{bsz}_scenes_per_sec": round(iters * bsz / dtb, 3),

@@ -166,6 +166,29 @@ def fallback_telemetry(rulebooks, caps, model, patch_max: int = 0) -> dict:
     }
 
 
+def serving_window_config(batch_size: int) -> dict:
+    """Measured-optimal Pallas window config for the fused serving plan.
+
+    TPU A/B (scripts/ab_windows.py, v5e, realistic ray-cast scenes): the
+    one-hot conv's GEMM FLOPs scale linearly with the small window, and the
+    per-conv over-window block counts scale with the batch (batched chains
+    stack scenes), so the optimum is batch-dependent:
+      batch<=2: b1 8.44 -> 7.97 ms with the tighter set below;
+      batch>=3: the tight set trips down1/down2 past patch_max at 4x
+                counts — restoring them gives b4 24.52 -> 22.89 ms
+                (174.7 scenes/s) with zero fallbacks.
+    block=512 and BEV-tile row reordering are measured NEGATIVE (see
+    CLAUDE.md r3 notes); patch_max>32 costs more than it saves.
+    """
+    if batch_size <= 2:
+        return dict(subm_windows_small=(384, 512, 384, 256),
+                    down_windows_small=(640, 768, 256, 256),
+                    patch_max=32)
+    return dict(subm_windows_small=(384, 512, 384, 384),
+                down_windows_small=(640, 1024, 768, 384),
+                patch_max=32)
+
+
 def window_config_from_detector(detector):
     """Resolve the effective Pallas window config of a VoxelNet detector
     (its overrides over the SpMiddleFHD defaults) for fallback_telemetry."""
