@@ -328,15 +328,47 @@ class Trainer:
         if self._eval_rb_shards > 1:
             from ..data.rulebooks import build_sharded_batch_rulebooks
 
-            return build_sharded_batch_rulebooks(
+            rb = build_sharded_batch_rulebooks(
                 batch["coords"], batch["voxel_mask"],
                 self.model.sparse_shape, self.model.stage_capacity,
                 self._eval_rb_shards)
-        from ..data.rulebooks import build_batch_rulebooks
+        else:
+            from ..data.rulebooks import build_batch_rulebooks
 
-        return build_batch_rulebooks(
-            batch["coords"], batch["voxel_mask"],
-            self.model.sparse_shape, self.model.stage_capacity)
+            rb = build_batch_rulebooks(
+                batch["coords"], batch["voxel_mask"],
+                self.model.sparse_shape, self.model.stage_capacity)
+        self._log_eval_fallbacks(rb, batch)
+        return rb
+
+    def _log_eval_fallbacks(self, rb, batch):
+        """One-time span telemetry: warn if any eval conv will silently
+        trip the in-graph gather fallback (serve.fallback_telemetry — the
+        ~7x slowdown the windows are tuned against)."""
+        if rb is None or getattr(self, "_eval_fb_logged", False):
+            return
+        self._eval_fb_logged = True
+        try:
+            from ..serve import fallback_telemetry, window_config_from_detector
+
+            lb = batch["coords"].shape[0] // self._eval_rb_shards
+            caps = [c * lb for c in self.model.stage_capacity]
+            chain = rb
+            if self._eval_rb_shards > 1:  # inspect shard 0's chain
+                chain = jax.tree_util.tree_map(lambda a: a[0], rb)
+            tel = fallback_telemetry(
+                chain, caps, window_config_from_detector(self.model))
+            msg = (f"eval span telemetry: fallback_convs="
+                   f"{tel['fallback_convs']} patched_blocks="
+                   f"{tel['patched_blocks']}")
+            if tel["fallback_convs"]:
+                self.logger.warning(
+                    msg + " — some eval convs run the slow gather fallback; "
+                    "raise the windows/patch_max for this batch size")
+            else:
+                self.logger.info(msg)
+        except Exception:  # telemetry must never break eval
+            pass
 
     def predict_samples(self, indices, use_ema: bool = False):
         """Per-sample debug evaluation — the ``test_v2`` affordance
