@@ -18,6 +18,11 @@ from collections import OrderedDict, defaultdict
 
 def get_root_logger(work_dir=None, level=logging.INFO) -> logging.Logger:
     logger = logging.getLogger("sessd_tpu")
+    # the work dir must exist even on the early-return path: a second
+    # Trainer in one process (or a test suite) reuses the handlers, but
+    # its json/checkpoint writers still expect the directory
+    if work_dir is not None:
+        pathlib.Path(work_dir).mkdir(parents=True, exist_ok=True)
     if logger.handlers:
         return logger
     logger.setLevel(level)
@@ -27,7 +32,6 @@ def get_root_logger(work_dir=None, level=logging.INFO) -> logging.Logger:
     logger.addHandler(sh)
     if work_dir is not None:
         path = pathlib.Path(work_dir)
-        path.mkdir(parents=True, exist_ok=True)
         fh = logging.FileHandler(path / f"{time.strftime('%Y%m%d_%H%M%S')}.log")
         fh.setFormatter(fmt)
         logger.addHandler(fh)
