@@ -49,6 +49,11 @@ def build_detector(cfg, axis_name=None):
     if m["type"] == "VoxelNet":
         # bf16 halves activation HBM: the full-scale B=4 step fits without
         # backbone remat and runs ~14% faster (measured scripts/train_ab.py)
+        # dense_from_stage=3 keeps stage 2 sparse in TRAINING too: the
+        # masked-dense stage-2 convs dominate the fwd+bwd step (954.9 ->
+        # 584.7 ms full-scale B=4 bf16+hostrb, scripts/breakdown_train.py);
+        # the plan is equivalence-guarded (test_backbone_hybrid.py), params
+        # identical, so this is a pure execution-plan default
         return VoxelNet(
             num_input_features=m["reader"].get("num_input_features", 4),
             sparse_shape=voxelizer.sparse_shape,
@@ -56,6 +61,7 @@ def build_detector(cfg, axis_name=None):
             axis_name=axis_name,
             dtype=dtype,
             backbone_remat=cfg.get("backbone_remat", dtype == jnp.float32),
+            dense_from_stage=cfg.get("dense_from_stage", 3),
         )
     if m["type"] == "PointPillars":
         nx, ny, _ = voxelizer.grid_size
