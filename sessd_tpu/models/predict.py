@@ -27,6 +27,13 @@ class PredictConfig(NamedTuple):
     score_threshold: float = 0.3
     nms_pre_max_size: int = 1000
     nms_post_max_size: int = 100
+    # two-level NMS capacity: when every sample in the batch has at most
+    # this many above-threshold boxes (the typical case — KITTI scenes pass
+    # ~30-200 of the 70k anchors at 0.3), an exact small path runs the
+    # [pre, pre] rotated-IoU matrix at this capacity instead of
+    # nms_pre_max_size; a lax.cond falls back to the full capacity
+    # otherwise (the wconv two-level-window pattern). 0 disables.
+    nms_pre_small: int = 256
     nms_iou_threshold: float = 0.01
     iou_rectify_pow: float = 4.0
     post_center_range: tuple = (0.0, -40.0, -5.0, 70.4, 40.0, 5.0)
@@ -122,11 +129,34 @@ def predict_single(preds, anchors, frustum_surfaces, cfg: PredictConfig):
 
 def predict_batch(preds, anchors, frustum_surfaces, cfg: PredictConfig = PredictConfig()):
     """preds: task-0 dict of [B, A, .]; anchors [A, 7] or [B, A, 7];
-    frustum_surfaces [B, 6, 4, 3] or None."""
+    frustum_surfaces [B, 6, 4, 3] or None.
+
+    Two-level NMS: the decision between the small and full pre-NMS
+    capacities hoists OUTSIDE the batch vmap (a vmapped lax.cond lowers to
+    a select that executes both branches); the branch choice is one scalar
+    over the whole batch, so the cond stays a real cond.
+    """
     if anchors.ndim == 2:
         anchors = jnp.broadcast_to(anchors, preds["box_preds"].shape[:1] + anchors.shape)
-    if frustum_surfaces is None:
-        f = jax.vmap(lambda p, a: predict_single(p, a, None, cfg))
-        return f(preds, anchors)
-    return jax.vmap(lambda p, a, fr: predict_single(p, a, fr, cfg))(
-        preds, anchors, frustum_surfaces)
+
+    def run(c):
+        if frustum_surfaces is None:
+            return jax.vmap(lambda p, a: predict_single(p, a, None, c))(
+                preds, anchors)
+        return jax.vmap(lambda p, a, fr: predict_single(p, a, fr, c))(
+            preds, anchors, frustum_surfaces)
+
+    small = cfg.nms_pre_small
+    n_anchors = preds["box_preds"].shape[1]
+    if (cfg.nms_type == "rotate_nms" and small
+            and small < min(cfg.nms_pre_max_size, n_anchors)):
+        # exact: when <= small boxes pass the score threshold, top_k(small)
+        # contains every candidate the full path would consider
+        counts = jnp.sum(
+            jax.nn.sigmoid(preds["cls_preds"][..., 0])
+            >= cfg.score_threshold, axis=-1)
+        return jax.lax.cond(
+            jnp.max(counts) <= small,
+            lambda: run(cfg._replace(nms_pre_max_size=small)),
+            lambda: run(cfg))
+    return run(cfg)

@@ -157,3 +157,51 @@ def test_rotate_weighted_nms_runs(rng):
     assert merged.shape == (8, 7)
     assert valid.any()
     assert np.isfinite(merged[valid]).all()
+
+
+def test_two_level_nms_exact_both_regimes(rng):
+    """predict_batch's small-capacity NMS path must be bit-identical to the
+    full path when counts fit, and must FALL BACK (cond) when any sample in
+    the batch exceeds the small capacity."""
+    import jax.numpy as jnp
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+    from sessd_tpu.models.predict import PredictConfig, predict_batch
+
+    anchors = jnp.asarray(
+        create_anchors_3d_range([1, 8, 11], [0, -40.0, -1.0, 70.4, 40.0, -1.0])
+        .reshape(-1, 7))
+    a = anchors.shape[0]
+
+    def batchify(preds_list):
+        return {k: jnp.stack([p[k] for p in preds_list])
+                for k in preds_list[0]}
+
+    # regime 1: few above-threshold boxes -> small path engages
+    preds = batchify([make_preds(rng, a=a)[0] for _ in range(2)])
+    full = PredictConfig(nms_pre_max_size=64, nms_post_max_size=16,
+                         nms_pre_small=0)
+    two = full._replace(nms_pre_small=32)
+    o_full = predict_batch(preds, anchors, None, full)
+    o_two = predict_batch(preds, anchors, None, two)
+    assert np.asarray(o_full["valid"]).sum() > 0
+    np.testing.assert_array_equal(np.asarray(o_full["valid"]),
+                                  np.asarray(o_two["valid"]))
+    for k in ("box3d_lidar", "scores"):
+        # same selections; values may differ at float-fusion level (the two
+        # branches are different XLA programs)
+        np.testing.assert_allclose(np.asarray(o_full[k]),
+                                   np.asarray(o_two[k]), rtol=1e-6, atol=1e-5)
+
+    # regime 2: one sample floods past the small capacity -> exact fallback
+    p0, _ = make_preds(rng, a=a)
+    hotcls = np.asarray(p0["cls_preds"]).copy()
+    hotcls[: 40] = 3.0  # 40 confident anchors > small=32
+    p0 = dict(p0, cls_preds=jnp.asarray(hotcls))
+    preds = batchify([p0, make_preds(rng, a=a)[0]])
+    o_full = predict_batch(preds, anchors, None, full)
+    o_two = predict_batch(preds, anchors, None, two)
+    np.testing.assert_array_equal(np.asarray(o_full["valid"]),
+                                  np.asarray(o_two["valid"]))
+    for k in ("box3d_lidar", "scores"):
+        np.testing.assert_allclose(np.asarray(o_full[k]),
+                                   np.asarray(o_two[k]), rtol=1e-6, atol=1e-5)
