@@ -218,6 +218,7 @@ def build_predict_config(cfg) -> PredictConfig:
         nms_pre_max_size=tc["nms"]["nms_pre_max_size"],
         nms_post_max_size=tc["nms"]["nms_post_max_size"],
         nms_iou_threshold=tc["nms"]["nms_iou_threshold"],
+        nms_pre_small=tc["nms"].get("nms_pre_small", 256),
         post_center_range=tuple(tc["post_center_limit_range"]),
         use_dir_classifier=cfg.model["bbox_head"].get("loss_aux") is not None,
         direction_offset=cfg.model["bbox_head"].get("direction_offset", 0.0),

@@ -158,12 +158,31 @@ def fallback_telemetry(rulebooks, caps, model, patch_max: int = 0) -> dict:
         convs[f"down{i}"] = _span_stats(
             np.asarray(rulebooks["down"][i]), caps[i], small,
             model.down_windows[i], patch_max, model.fused_block)
+    # capacity saturation: a stage whose id table is FULL truncated voxels
+    # (the chain drops the overflow) — an accuracy signal, not a perf one
+    sentinel = np.iinfo(np.int32).max
+    ids = rulebooks.get("ids") if hasattr(rulebooks, "get") else None
+    saturated = [] if ids is None else [
+        i for i in range(len(caps))
+        if int((np.asarray(ids[i]) < sentinel).sum()) >= caps[i]]
     return {
         "convs": convs,
         "fallback_convs": sum(c["fallback"] for c in convs.values()),
         "patched_blocks": sum(c["n_over"] for c in convs.values()
                               if not c["fallback"]),
+        "cap_saturated_stages": saturated,
     }
+
+
+# Serving stage capacities (scripts/ab_caps.py, v5e): the fused kernels run
+# a grid over CAPACITY-padded column blocks, so the training-safety caps
+# (20000, 22000, 18000, 12000, 8000) spend ~half their stage-2..4 blocks on
+# zero padding (realistic occupancies 17.4k/18.8k/9.5k/3.7k/2.8k). Tightening
+# stages 2-4 to ~30-60% margin cuts the 64-channel stages' block counts:
+# b1 6.82 -> 6.01 ms, b4 18.96 -> 15.98 ms (250 scenes/s). Occupancy past a
+# cap TRUNCATES voxels (accuracy loss) — fallback_telemetry reports
+# cap_saturated_stages so a denser deployment sees the signal.
+SERVING_CAPS = (20000, 22000, 12000, 6000, 4000)
 
 
 def serving_window_config(batch_size: int) -> dict:

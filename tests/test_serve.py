@@ -150,3 +150,27 @@ def test_fallback_telemetry_realistic_and_overdense():
     tel2 = fallback_telemetry(prep(pts)["rulebooks"], prep.caps, wcfg)
     assert tel2["fallback_convs"] >= 1
     assert any(c["fallback"] for c in tel2["convs"].values())
+
+
+def test_cap_saturation_telemetry():
+    """fallback_telemetry flags stages whose id table filled to capacity
+    (voxel truncation = accuracy risk) and stays quiet with headroom."""
+    from sessd_tpu.models.detector import VoxelNet
+    from sessd_tpu.ops.voxelize import KITTI_VOXELIZER
+    from sessd_tpu.serve import (HostPreprocessor, fallback_telemetry,
+                                 window_config_from_detector)
+    from sessd_tpu.utils.synth_scene import make_scene
+
+    wcfg = window_config_from_detector(
+        VoxelNet(sparse_shape=KITTI_VOXELIZER.sparse_shape))
+    pts = np.asarray(make_scene(seed=0)[0])
+
+    roomy = HostPreprocessor(KITTI_VOXELIZER)
+    tel = fallback_telemetry(roomy(pts)["rulebooks"], roomy.caps, wcfg)
+    assert tel["cap_saturated_stages"] == []
+
+    # stage-0 capacity below the scene's ~17k voxels -> truncation flagged
+    tiny = HostPreprocessor(KITTI_VOXELIZER,
+                            stage_capacity=(4096, 4608, 4096, 4096, 4096))
+    tel2 = fallback_telemetry(tiny(pts)["rulebooks"], tiny.caps, wcfg)
+    assert 0 in tel2["cap_saturated_stages"]
