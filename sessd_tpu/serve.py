@@ -197,15 +197,29 @@ def serving_window_config(batch_size: int) -> dict:
                 counts — restoring them gives b4 24.52 -> 22.89 ms
                 (174.7 scenes/s) with zero fallbacks.
     block=512 and BEV-tile row reordering are measured NEGATIVE (see
-    CLAUDE.md r3 notes); patch_max>32 costs more than it saves.
+    CLAUDE.md r3 notes); patch_max>32 costs more than it saves at b<=4.
+
+    batch>4: over-window block counts and worst-case spans keep stacking
+    (measured b8: n_over up to 54, spans to 2135; b16: 110/2161) — scale
+    patch_max ~linearly and lift the three large windows the spans exceed,
+    else five of the eight convs trip the whole-conv gather fallback.
     """
     if batch_size <= 2:
         return dict(subm_windows_small=(384, 512, 384, 256),
                     down_windows_small=(640, 768, 256, 256),
                     patch_max=32)
+    if batch_size <= 4:
+        return dict(subm_windows_small=(384, 512, 384, 384),
+                    down_windows_small=(640, 1024, 768, 384),
+                    patch_max=32)
     return dict(subm_windows_small=(384, 512, 384, 384),
                 down_windows_small=(640, 1024, 768, 384),
-                patch_max=32)
+                subm_windows=(1152, 2304, 1536, 768),
+                down_windows=(1024, 2304, 2304, 768),
+                # worst measured n_over/scene ~ 7 (down2, b8/b16); invalid
+                # patch programs are a cheap @pl.when skip, so size with
+                # ~1.7x headroom
+                patch_max=12 * batch_size)
 
 
 def window_config_from_detector(detector):

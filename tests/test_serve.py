@@ -174,3 +174,37 @@ def test_cap_saturation_telemetry():
                             stage_capacity=(4096, 4608, 4096, 4096, 4096))
     tel2 = fallback_telemetry(tiny(pts)["rulebooks"], tiny.caps, wcfg)
     assert 0 in tel2["cap_saturated_stages"]
+
+
+def test_batch8_window_config_no_fallbacks():
+    """serving_window_config(8): over-window block counts and worst-case
+    spans STACK with the batch (chains concatenate scenes at non-256-aligned
+    capacity boundaries, so straddle blocks grow spans past the batch-4
+    maxima). The b>4 config must keep every conv off the whole-conv gather
+    fallback on realistic scenes — measured b8 n_over up to 54 and spans to
+    2135 trip five of eight convs under the b<=4 config."""
+    from sessd_tpu.models.backbone import SpMiddleFHD
+    from sessd_tpu.ops.voxelize import KITTI_VOXELIZER
+    from sessd_tpu.serve import (SERVING_CAPS, HostPreprocessor,
+                                 fallback_telemetry, serving_window_config)
+    from sessd_tpu.utils.synth_scene import make_scene
+
+    b = 8
+    prep = HostPreprocessor(KITTI_VOXELIZER, SERVING_CAPS)
+    scenes = [np.asarray(make_scene(seed=s)[0]) for s in range(4)] * 2
+    rb = prep.batch(scenes[:b])["rulebooks"]
+    caps_b = [c * b for c in SERVING_CAPS]
+
+    cfg = serving_window_config(b)
+    assert cfg["patch_max"] >= 96  # ~1.7x the measured worst n_over
+    tel = fallback_telemetry(
+        rb, caps_b, SpMiddleFHD(stage_capacity=SERVING_CAPS, **cfg))
+    assert tel["fallback_convs"] == 0
+    assert tel["patched_blocks"] > 0  # two-level windows doing real work
+
+    # and the b<=4 config genuinely does NOT survive batch 8 (guards the
+    # telemetry's sensitivity, not just the config's safety)
+    tel4 = fallback_telemetry(
+        rb, caps_b,
+        SpMiddleFHD(stage_capacity=SERVING_CAPS, **serving_window_config(4)))
+    assert tel4["fallback_convs"] >= 1
