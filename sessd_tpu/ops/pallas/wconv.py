@@ -274,6 +274,46 @@ def _fused_kernel(lo_ref, rb_ref, feat_ref, w_ref, b_ref,
     out_ref[:] = jnp.where(valid[None, :], out, 0.0).astype(out_ref.dtype)
 
 
+def _fused_stream_kernel(lo_ref, rb_ref, feat_hbm, w_ref, b_ref,
+                         out_ref, g_ref, win_ref, sems, *, window, block, k,
+                         cin, relu, miss):
+    """Streaming twin of _fused_kernel: features stay in HBM and each
+    [Cin, window] slice is DMA'd into a double-buffered VMEM scratch, so
+    VMEM use is O(window) instead of O(cols_in). Engaged when the resident
+    feature buffer would blow the ~16 MB VMEM budget (batch > 4 serving);
+    the per-offset one-hot GEMM reads each streamed byte 256 times
+    (arithmetic intensity ~ the v5e ridge point), and the DMA of offset
+    k+1 overlaps the GEMM of offset k."""
+    i = pl.program_id(0)
+
+    def _copy(kk, slot):
+        lo = pl.multiple_of(lo_ref[kk, i], 128)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(lo, window)], win_ref.at[slot],
+            sems.at[slot])
+
+    _copy(0, 0).start()
+    for kk in range(k):
+        slot = kk % 2
+        if kk + 1 < k:
+            _copy(kk + 1, 1 - slot).start()
+        _copy(kk, slot).wait()
+        lo = pl.multiple_of(lo_ref[kk, i], 128)
+        oh = _onehot(rb_ref[kk:kk + 1, :], lo, window, block, win_ref.dtype)
+        g = jax.lax.dot_general(
+            win_ref[slot], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Cin, B]
+        g_ref[kk * cin:(kk + 1) * cin, :] = g.astype(g_ref.dtype)
+    out = jax.lax.dot_general(
+        w_ref[:], g_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = out + b_ref[:]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    valid = jnp.any(rb_ref[:] != miss, axis=0)
+    out_ref[:] = jnp.where(valid[None, :], out, 0.0).astype(out_ref.dtype)
+
+
 def _patch_kernel(pb_ref, pvalid_ref, lol_ref, rb_ref, feat_ref, w_ref,
                   b_ref, out_ref, g_ref, *, window_large, block, k, cin,
                   relu, miss):
@@ -307,10 +347,63 @@ def _patch_kernel(pb_ref, pvalid_ref, lol_ref, rb_ref, feat_ref, w_ref,
         out_ref[:] = jnp.where(valid[None, :], out, 0.0).astype(out_ref.dtype)
 
 
+def _patch_stream_kernel(pb_ref, pvalid_ref, lol_ref, rb_ref, feat_hbm,
+                         w_ref, b_ref, out_ref, g_ref, win_ref, sems, *,
+                         window_large, block, k, cin, relu, miss):
+    """Streaming twin of _patch_kernel (features in HBM, double-buffered
+    large-window DMAs); <= patch_max programs, so throughput is immaterial."""
+    p = pl.program_id(0)
+
+    @pl.when(pvalid_ref[p] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(pvalid_ref[p] != 0)
+    def _():
+        b = pb_ref[p]
+
+        def _copy(kk, slot):
+            lo = pl.multiple_of(lol_ref[kk, b], 128)
+            return pltpu.make_async_copy(
+                feat_hbm.at[:, pl.ds(lo, window_large)], win_ref.at[slot],
+                sems.at[slot])
+
+        _copy(0, 0).start()
+        for kk in range(k):
+            slot = kk % 2
+            if kk + 1 < k:
+                _copy(kk + 1, 1 - slot).start()
+            _copy(kk, slot).wait()
+            lo = pl.multiple_of(lol_ref[kk, b], 128)
+            oh = _onehot(rb_ref[kk:kk + 1, :], lo, window_large, block,
+                         win_ref.dtype)
+            g = jax.lax.dot_general(
+                win_ref[slot], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            g_ref[kk * cin:(kk + 1) * cin, :] = g.astype(g_ref.dtype)
+        out = jax.lax.dot_general(
+            w_ref[:], g_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out + b_ref[:]
+        if relu:
+            out = jnp.maximum(out, 0.0)
+        valid = jnp.any(rb_ref[:] != miss, axis=0)
+        out_ref[:] = jnp.where(valid[None, :], out, 0.0).astype(out_ref.dtype)
+
+
+# resident-feature VMEM budget for the fused serving kernels: feats_t above
+# this streams from HBM (v5e VMEM is ~16 MB/core; the largest working
+# resident config measured is ~6 MB at batch-4 stage 2, and batch-8
+# stage-1/2 buffers of 10.7-11.7 MB fail to fit once kernel overheads and
+# double-buffered I/O blocks are added)
+STREAM_FEATS_BYTES = 8 * 2 ** 20
+
+
 def fused_conv_affine_t(feats_t, rb_t, lo, lo_l, pb, pvalid, span_ok, w2t,
                         bias, n_in: int, *, window: int,
                         window_large: int | None = None, block: int = 256,
-                        relu: bool = True, interpret: bool = False):
+                        relu: bool = True, interpret: bool = False,
+                        stream: bool | None = None):
     """Fused sparse conv + affine(BN-folded) + ReLU + occupancy mask, fully in
     the transposed [C, cols] layout (serving fast path).
 
@@ -337,24 +430,34 @@ def fused_conv_affine_t(feats_t, rb_t, lo, lo_l, pb, pvalid, span_ok, w2t,
     two_level = window_large > window
     patch_max = pb.shape[0]
     nb = cols_out // block
+    if stream is None:
+        stream = (feats_t.size * feats_t.dtype.itemsize
+                  > STREAM_FEATS_BYTES)
+
+    feat_space = pl.ANY if stream else pltpu.VMEM
 
     def fast(_):
+        scratch = [pltpu.VMEM((k * cin, block), feats_t.dtype)]
+        if stream:
+            scratch += [pltpu.VMEM((2, cin, window), feats_t.dtype),
+                        pltpu.SemaphoreType.DMA((2,))]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((k, block), lambda i, lo_: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # features, resident
+                pl.BlockSpec(memory_space=feat_space),  # features
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, resident
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # bias, resident
             ],
             out_specs=pl.BlockSpec((cout, block), lambda i, lo_: (0, i),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((k * cin, block), feats_t.dtype)],
+            scratch_shapes=scratch,
         )
+        kern = _fused_stream_kernel if stream else _fused_kernel
         out = pl.pallas_call(
-            functools.partial(_fused_kernel, window=window, block=block,
+            functools.partial(kern, window=window, block=block,
                               k=k, cin=cin, relu=relu, miss=miss),
             out_shape=jax.ShapeDtypeStruct((cout, cols_out), feats_t.dtype),
             grid_spec=grid_spec,
@@ -363,6 +466,10 @@ def fused_conv_affine_t(feats_t, rb_t, lo, lo_l, pb, pvalid, span_ok, w2t,
         if not two_level:
             return out
 
+        pscratch = [pltpu.VMEM((k * cin, block), feats_t.dtype)]
+        if stream:
+            pscratch += [pltpu.VMEM((2, cin, window_large), feats_t.dtype),
+                         pltpu.SemaphoreType.DMA((2,))]
         patch_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(patch_max,),
@@ -370,17 +477,18 @@ def fused_conv_affine_t(feats_t, rb_t, lo, lo_l, pb, pvalid, span_ok, w2t,
                 pl.BlockSpec((k, block),
                              lambda p, pb_, pv_, lol_: (0, pb_[p]),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # features
+                pl.BlockSpec(memory_space=feat_space),  # features
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
             ],
             out_specs=pl.BlockSpec((cout, block),
                                    lambda p, pb_, pv_, lol_: (0, p),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((k * cin, block), feats_t.dtype)],
+            scratch_shapes=pscratch,
         )
+        pkern = _patch_stream_kernel if stream else _patch_kernel
         patched = pl.pallas_call(
-            functools.partial(_patch_kernel, window_large=window_large,
+            functools.partial(pkern, window_large=window_large,
                               block=block, k=k, cin=cin, relu=relu,
                               miss=miss),
             out_shape=jax.ShapeDtypeStruct((cout, patch_max * block),

@@ -123,3 +123,13 @@ def test_fused_two_level_windows_exact():
     valid = (rb_pad != n_in).any(1)
     want = np.where(valid[:, None], want, 0.0).T
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-4, atol=2e-4)
+
+    # the streaming twin (features in HBM, double-buffered window DMAs —
+    # the batch>4 serving path) must produce identical columns
+    out_s = fused_conv_affine_t(
+        jnp.asarray(feats), rb_t, lo, lo_l, pb, pvalid, span_ok,
+        jnp.asarray(w2t), jnp.asarray(bias), n_in,
+        window=window, window_large=window_large, relu=True, interpret=True,
+        stream=True)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
