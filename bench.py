@@ -218,11 +218,14 @@ def main():
                  "patched_blocks": max(t["patched_blocks"] for t in tel),
                  "cap_saturated": sorted({s for t in tel
                                           for s in t["cap_saturated_stages"]})}
-        bsz = int(os.environ.get("SESSD_BATCH", "4"))
-        if bsz > 1:
-            # throughput serving: one chain over the (B, D, H, W) grid —
-            # batch-1 stays the headline (reference reports per-frame
-            # latency); batched rate shows the chip's throughput headroom
+        # comma-separated batch sizes, e.g. SESSD_BATCH=4,8 — batch-1 stays
+        # the headline (reference reports per-frame latency); batched rates
+        # show the chip's throughput headroom
+        for bsz in [int(b) for b in
+                    os.environ.get("SESSD_BATCH", "4").split(",")]:
+            if bsz <= 1:
+                continue
+            # throughput serving: one chain over the (B, D, H, W) grid
             for _ in range(prep.ring):  # fill the batched buffer ring (the
                 prep.batch(scenes[:1] * bsz)  # initial allocations THP-stall)
             t0 = time.perf_counter()
