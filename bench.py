@@ -32,6 +32,32 @@ import numpy as np
 from sessd_tpu.utils.synth_scene import make_scene
 
 
+def _wait_for_backend():
+    """Block until the JAX backend initializes, probing in FRESH subprocesses.
+
+    The axon tunnel can be transiently UNAVAILABLE for long stretches; a
+    failed PJRT init both hangs ~13 min and poisons the attempting process,
+    so each probe is its own interpreter. Bounded by SESSD_TPU_WAIT seconds
+    (default 30 min); on expiry we proceed and let the real run surface the
+    error."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + float(os.environ.get("SESSD_TPU_WAIT", "1800"))
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=330, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return
+        time.sleep(30)
+
+
 def _report(scenes_per_sec, lat, extra):
     target_2x_a100 = 80.0  # BASELINE.json north star: >=2x A100 (~40/s)
     out = {
@@ -103,6 +129,7 @@ def _serving_score_prior(variables):
 
 
 def main():
+    _wait_for_backend()
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
