@@ -86,18 +86,30 @@ def make_train_rulebook_transform(
     if native is None:
         return None
     caps = [int(c) for c in stage_capacity]
-    # scratch ring: num_shards buffer sets per (caps, dtype) — the per-shard
-    # results are alive only until _tree_stack copies them, so reusing the
-    # buffers across calls is safe and avoids the THP-stalling fresh mmaps
-    # (see utils/native.rulebook_scratch)
-    pools: dict = {}
+    # scratch free-list: build_batch_rulebooks returns VIEWS into its
+    # scratch set (alive until _tree_stack copies them), and the loader's
+    # prefetch pool can run this transform for SEVERAL in-flight batches
+    # CONCURRENTLY — so scratch sets are acquired per build and released
+    # only after the copy, behind a lock (a fixed per-shard ring raced:
+    # one thread's C++ wrote a set while another still read it, corrupting
+    # perm/maps). Reuse avoids the THP-stalling fresh mmaps
+    # (see utils/native.rulebook_scratch).
+    import threading
 
-    def _scratch(caps_b, out_dtype, slot):
+    pools: dict = {}
+    pools_lock = threading.Lock()
+
+    def _acquire(caps_b, out_dtype):
         key = (tuple(caps_b), np.dtype(out_dtype))
-        sets = pools.setdefault(key, [])
-        while len(sets) <= slot:
-            sets.append(native.rulebook_scratch(caps_b, downs, out_dtype))
-        return sets[slot]
+        with pools_lock:
+            free = pools.setdefault(key, [])
+            if free:
+                return key, free.pop()
+        return key, native.rulebook_scratch(caps_b, downs, out_dtype)
+
+    def _release(key, scratch):
+        with pools_lock:
+            pools[key].append(scratch)
 
     def transform(batch: dict) -> dict:
         out = dict(batch)
@@ -109,14 +121,21 @@ def make_train_rulebook_transform(
             lb = b // num_shards
             caps_b = [c * lb for c in caps]
             out_dtype = np.int16 if max(caps_b) < 2 ** 15 else np.int32
-            shards = [
-                build_batch_rulebooks(
-                    coords[s * lb:(s + 1) * lb], mask[s * lb:(s + 1) * lb],
-                    sparse_shape, caps, native=native, downs=downs,
-                    out_dtype=out_dtype, scratch=_scratch(caps_b, out_dtype, s))
-                for s in range(num_shards)
-            ]
-            out["rulebooks" + suffix] = _tree_stack(shards)
+            taken = []
+            try:
+                shards = []
+                for s in range(num_shards):
+                    key, scr = _acquire(caps_b, out_dtype)
+                    taken.append((key, scr))
+                    shards.append(build_batch_rulebooks(
+                        coords[s * lb:(s + 1) * lb],
+                        mask[s * lb:(s + 1) * lb],
+                        sparse_shape, caps, native=native, downs=downs,
+                        out_dtype=out_dtype, scratch=scr))
+                out["rulebooks" + suffix] = _tree_stack(shards)
+            finally:
+                for key, scr in taken:
+                    _release(key, scr)
         return out
 
     return transform

@@ -114,3 +114,58 @@ def test_host_rulebooks_int16_matches_int32():
         for a, b in zip(rb16[key], rb32[key]):
             assert a.dtype == np.int16
             np.testing.assert_array_equal(a, b)
+
+
+def test_train_transform_concurrent_batches():
+    """The loader's prefetch pool runs the rulebook batch_transform for
+    several in-flight batches CONCURRENTLY (loader.py assemble futures).
+    Scratch buffers must therefore be acquired per build, not fixed per
+    shard — a fixed ring raced: one thread's C++ overwrote a set another
+    thread was still reading, corrupting perm (observed as an
+    IndexError: perm entry >= n in utils/native.py glue)."""
+    import concurrent.futures
+
+    from sessd_tpu.data.rulebooks import (build_batch_rulebooks,
+                                          make_train_rulebook_transform)
+
+    native = get_native()
+    if native is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(7)
+    shape = (21, 80, 72)
+    caps = (500, 520, 480, 360, 240)
+    tf = make_train_rulebook_transform(shape, caps, num_shards=1,
+                                       suffixes=("",))
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        b = 2
+        # DIFFERENT valid counts per batch: stale cross-batch scratch reads
+        # then show up as out-of-range perm entries
+        batches_c = np.zeros((b, caps[0], 3), np.int32)
+        batches_m = np.zeros((b, caps[0]), bool)
+        for bi in range(b):
+            n = r.randint(caps[0] // 2, caps[0])
+            c = _coords(r, n, (1,) + shape)[:, 1:]
+            batches_c[bi, :n] = c
+            batches_m[bi, :n] = True
+        return {"coords": batches_c, "voxel_mask": batches_m}
+
+    batches = [make_batch(s) for s in range(8)]
+    want = []
+    for bt in batches:  # sequential scratch-free ground truth
+        rb = build_batch_rulebooks(bt["coords"], bt["voxel_mask"], shape,
+                                   caps)
+        want.append(rb)
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        for _ in range(3):  # several rounds to let interleavings vary
+            got = list(ex.map(tf, [dict(bt) for bt in batches]))
+            for g, w in zip(got, want):
+                rb = g["rulebooks"]
+                np.testing.assert_array_equal(rb["perm"][0], w["perm"])
+                for a, b_ in zip(rb["ids"], w["ids"]):
+                    np.testing.assert_array_equal(a[0], b_)
+                for key in ("subm", "down"):
+                    for a, b_ in zip(rb[key], w[key]):
+                        np.testing.assert_array_equal(a[0], b_)
