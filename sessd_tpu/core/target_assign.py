@@ -41,6 +41,82 @@ def nearest_iou_similarity(boxes1_rbv: np.ndarray, boxes2_rbv: np.ndarray) -> np
     return box_np.iou_2d_aligned_matrix(b1, b2)
 
 
+@dataclass(frozen=True)
+class AnchorLattice:
+    """Regular-lattice structure of a [1, H, W, NS, NR] anchor grid
+    (core/anchors.create_anchors_3d_range flatten order): anchor index =
+    (iy*W + ix)*per_cell + k. Lets create_targets compute per-gt candidate
+    slabs by index arithmetic instead of the [A, M] near-bbox compare."""
+
+    h: int
+    w: int
+    per_cell: int
+    x0: float        # BEV center of cell ix = 0
+    y0: float
+    x_step: float
+    y_step: float
+    half_x_max: float  # max near-bbox half extents over (size, rotation)
+    half_y_max: float
+
+
+def anchor_lattice(feature_size, anchor_range, sizes=(1.6, 3.9, 1.56),
+                   rotations=(0.0, np.pi / 2)):
+    """Lattice descriptor matching create_anchors_3d_range's grid, or None
+    when the grid has a z extent (D > 1) and BEV slabs don't apply."""
+    d, h, w = feature_size
+    if d != 1:
+        return None
+    ar = np.asarray(anchor_range, np.float64)
+    stride = float(ar[3] - ar[0]) / w      # the reference's x-derived stride
+    x_step = stride                        # x linspace step
+    y_step = float(ar[4] - ar[1]) / h      # y linspace step (offset is still
+    x0 = float(ar[0]) + stride / 2         # stride/2 — box_np_ops quirk)
+    y0 = float(ar[1]) + stride / 2
+    szs = np.reshape(np.asarray(sizes, np.float64), [-1, 3])
+    rots = np.asarray(rotations, np.float64)
+    hx = hy = 0.0
+    for wlh in szs:
+        for r in rots:
+            swap = abs(limit_period(r, 0.5, np.pi)) > np.pi / 4
+            ex, ey = (wlh[1], wlh[0]) if swap else (wlh[0], wlh[1])
+            hx, hy = max(hx, ex / 2), max(hy, ey / 2)
+    return AnchorLattice(h=h, w=w, per_cell=szs.shape[0] * rots.shape[0],
+                         x0=x0, y0=y0, x_step=x_step, y_step=y_step,
+                         half_x_max=hx, half_y_max=hy)
+
+
+def _lattice_candidates(lat: AnchorLattice, b1: np.ndarray, b2: np.ndarray):
+    """Exact candidate set (anchors whose near-bbox strictly intersects any
+    gt near-bbox) via per-gt index slabs: the slab bounds carry a one-cell
+    slack over the analytic range, then the real 4-compare test runs on the
+    slab only — identical to the dense [A, M] prefilter by construction."""
+    per = lat.per_cell
+    found = []
+    for j in range(b2.shape[0]):
+        bxl, byl, bxh, byh = (float(b2[j, 0]), float(b2[j, 1]),
+                              float(b2[j, 2]), float(b2[j, 3]))
+        ix_lo = max(int(np.floor((bxl - lat.half_x_max - lat.x0)
+                                 / lat.x_step)) - 1, 0)
+        ix_hi = min(int(np.ceil((bxh + lat.half_x_max - lat.x0)
+                                / lat.x_step)) + 1, lat.w - 1)
+        iy_lo = max(int(np.floor((byl - lat.half_y_max - lat.y0)
+                                 / lat.y_step)) - 1, 0)
+        iy_hi = min(int(np.ceil((byh + lat.half_y_max - lat.y0)
+                                / lat.y_step)) + 1, lat.h - 1)
+        if ix_lo > ix_hi or iy_lo > iy_hi:
+            continue
+        cells = (np.arange(iy_lo, iy_hi + 1)[:, None] * lat.w
+                 + np.arange(ix_lo, ix_hi + 1)[None, :]).reshape(-1)
+        idx = (cells[:, None] * per + np.arange(per)[None, :]).reshape(-1)
+        bb = b1[idx]
+        keep = ((bb[:, 2] > bxl) & (bb[:, 0] < bxh)
+                & (bb[:, 3] > byl) & (bb[:, 1] < byh))
+        found.append(idx[keep])
+    if not found:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(found))
+
+
 def create_targets(
     anchors: np.ndarray,  # [A, 7]
     gt_boxes: np.ndarray,  # [M, 7]
@@ -48,53 +124,59 @@ def create_targets(
     matched_threshold: float = 0.6,
     unmatched_threshold: float = 0.45,
     box_code_size: int = 7,
+    anchors_nearbb: np.ndarray | None = None,  # [A, 4] cached near-bboxes
+    lattice: AnchorLattice | None = None,
 ):
-    """Returns dict(labels [A], bbox_targets [A, code], reg_weights [A])."""
+    """Returns dict(labels [A], bbox_targets [A, code], reg_weights [A]).
+
+    All matching runs in CANDIDATE space: the aligned IoU is zero unless
+    the near-bboxes intersect, so 4 compares per (anchor, gt) select the
+    ~few-hundred candidate anchors out of 70k and every argmax/threshold/
+    force-match rule operates on that subset — the dense [A, M] overlap
+    matrix (where non-candidate rows are all-zero: label 0, gt -1) is
+    never materialized. Semantics are element-identical to the dense
+    reference rules (det3d target_ops.py:28-200), oracle-tested.
+    """
     num = anchors.shape[0]
-    labels = np.full((num,), -1, dtype=np.int32)
+    labels = np.zeros((num,), dtype=np.int32)
     gt_ids = np.full((num,), -1, dtype=np.int32)
     if gt_classes is None and len(gt_boxes) > 0:
         gt_classes = np.ones((gt_boxes.shape[0],), dtype=np.int32)
 
+    cand = np.array([], dtype=np.int64)
     if len(gt_boxes) > 0:
-        # exact prefilter: the aligned IoU is zero unless the near-bboxes
-        # intersect; 4 compares per (anchor, gt) select the ~few-thousand
-        # candidate anchors out of 70k before the arithmetic-heavy IoU
-        # (the overlap matrix is identical — zero rows stay zero)
-        b1 = rbbox2d_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
+        b1 = (anchors_nearbb if anchors_nearbb is not None
+              else rbbox2d_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]]))
         b2 = rbbox2d_to_near_bbox(gt_boxes[:, [0, 1, 3, 4, 6]])
-        hit = ((b1[:, None, 2] > b2[None, :, 0])
-               & (b1[:, None, 0] < b2[None, :, 2])
-               & (b1[:, None, 3] > b2[None, :, 1])
-               & (b1[:, None, 1] < b2[None, :, 3]))  # [A, M]
-        cand = np.flatnonzero(hit.any(axis=1))
-        overlap = np.zeros((num, len(gt_boxes)), anchors.dtype)
-        if len(cand):
-            overlap[cand] = box_np.iou_2d_aligned_matrix(b1[cand], b2)
-        anchor_to_gt_argmax = overlap.argmax(axis=1)
-        anchor_to_gt_max = overlap[np.arange(num), anchor_to_gt_argmax]
-        gt_to_anchor_max = overlap.max(axis=0)
-        # gts that match nothing must not force-match anchor 0
+        if lattice is not None:
+            cand = _lattice_candidates(lattice, b1, b2)
+        else:
+            hit = ((b1[:, None, 2] > b2[None, :, 0])
+                   & (b1[:, None, 0] < b2[None, :, 2])
+                   & (b1[:, None, 3] > b2[None, :, 1])
+                   & (b1[:, None, 1] < b2[None, :, 3]))  # [A, M]
+            cand = np.flatnonzero(hit.any(axis=1))
+    if len(cand):
+        ov = box_np.iou_2d_aligned_matrix(b1[cand], b2)  # [C, M]
+        argmax_c = ov.argmax(axis=1)
+        max_c = ov[np.arange(len(cand)), argmax_c]
+        gt_to_anchor_max = ov.max(axis=0)
+        # gts that match nothing must not force-match anything
         gt_to_anchor_max[gt_to_anchor_max == 0] = -1
 
-        # force match: all anchors tied at each gt's best IoU (target_ops.py:139-146)
-        anchors_with_max_overlap = np.where(overlap == gt_to_anchor_max[None, :])[0]
-        gt_inds_force = anchor_to_gt_argmax[anchors_with_max_overlap]
-        labels[anchors_with_max_overlap] = gt_classes[gt_inds_force]
-        gt_ids[anchors_with_max_overlap] = gt_inds_force
+        # force match: all anchors tied at each gt's best IoU
+        # (target_ops.py:139-146); the forced gt is the ANCHOR's argmax
+        force_c = np.unique(np.where(ov == gt_to_anchor_max[None, :])[0])
+        pos_c = max_c >= matched_threshold
 
-        pos = anchor_to_gt_max >= matched_threshold
-        labels[pos] = gt_classes[anchor_to_gt_argmax[pos]]
-        gt_ids[pos] = anchor_to_gt_argmax[pos]
-
-        bg = anchor_to_gt_max < unmatched_threshold
-        fg_inds = np.where(labels > 0)[0]
-        labels[bg] = 0
-        # re-apply force matches that fell below unmatched_threshold
-        labels[anchors_with_max_overlap] = gt_classes[gt_inds_force]
-    else:
-        labels[:] = 0
-        fg_inds = np.array([], dtype=np.int64)
+        # between the thresholds -> don't care; below -> background (the
+        # init). Force rows are (re-)applied last, exactly like the dense
+        # formulation's trailing labels[awmo] assignment.
+        labels[cand[(max_c >= unmatched_threshold) & ~pos_c]] = -1
+        labels[cand[pos_c]] = gt_classes[argmax_c[pos_c]]
+        labels[cand[force_c]] = gt_classes[argmax_c[force_c]]
+        gt_ids[cand[force_c]] = argmax_c[force_c]
+        gt_ids[cand[pos_c]] = argmax_c[pos_c]
 
     fg_inds = np.where(labels > 0)[0]
     bbox_targets = np.zeros((num, box_code_size), dtype=anchors.dtype)
@@ -121,6 +203,7 @@ class TargetAssigner:
     matched_threshold: float = 0.6
     unmatched_threshold: float = 0.45
     box_code_size: int = 7
+    lattice: AnchorLattice | None = None  # optional O(M) candidate slabs
 
     def assign(self, anchors: np.ndarray, gt_boxes: np.ndarray,
                gt_classes: np.ndarray | None = None):
@@ -133,6 +216,15 @@ class TargetAssigner:
         gt_boxes = gt_boxes.copy()
         if len(gt_boxes):
             gt_boxes[:, -1] = limit_period(gt_boxes[:, -1], offset=0.5, period=2 * np.pi)
+        # the anchor grid is static per config: cache its near-bboxes
+        # (assign runs twice per training sample at ~70k anchors)
+        key = (id(anchors), anchors.shape, anchors.dtype)
+        cached = getattr(self, "_nearbb_cache", None)
+        if cached is None or cached[0] != key:
+            nearbb = rbbox2d_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
+            object.__setattr__(self, "_nearbb_cache", (key, nearbb))
+        else:
+            nearbb = cached[1]
         return create_targets(
             anchors,
             gt_boxes,
@@ -140,4 +232,6 @@ class TargetAssigner:
             matched_threshold=self.matched_threshold,
             unmatched_threshold=self.unmatched_threshold,
             box_code_size=self.box_code_size,
+            anchors_nearbb=nearbb,
+            lattice=self.lattice,
         )

@@ -69,7 +69,12 @@ class Pipeline:
         self.anchors = create_anchors_3d_range(
             cfg.feature_map_size, cfg.anchor_range, cfg.anchor_sizes,
             cfg.anchor_rotations).reshape(-1, 7)
-        self.assigner = TargetAssigner(cfg.matched_threshold, cfg.unmatched_threshold)
+        from ..core.target_assign import anchor_lattice
+
+        self.assigner = TargetAssigner(
+            cfg.matched_threshold, cfg.unmatched_threshold,
+            lattice=anchor_lattice(cfg.feature_map_size, cfg.anchor_range,
+                                   cfg.anchor_sizes, cfg.anchor_rotations))
 
     # -- loading ------------------------------------------------------------
     def load_points(self, info, root_path) -> np.ndarray:
