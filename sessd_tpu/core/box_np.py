@@ -198,16 +198,8 @@ def project_to_image(points_3d: np.ndarray, proj_mat: np.ndarray) -> np.ndarray:
 # point-in-box tests
 # ---------------------------------------------------------------------------
 
-def points_in_rbbox(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """[P, >=3] points vs [N, 7] center-origin lidar boxes -> bool [P, N].
-
-    Equivalent to the reference's surface-based test
-    (box_np_ops.points_in_rbbox) but done by rotating points into each box
-    frame, which is exact for rectangular boxes.
-    """
-    if boxes.shape[0] == 0 or points.shape[0] == 0:
-        return np.zeros((points.shape[0], boxes.shape[0]), dtype=bool)
-    shifted = points[:, None, :3] - boxes[None, :, :3]  # [P, N, 3]
+def _points_in_rbbox_dense(p3: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    shifted = p3[:, None, :] - boxes[None, :, :3]  # [P, N, 3]
     c, s = np.cos(boxes[:, 6]), np.sin(boxes[:, 6])
     # local = R(-ry) applied consistently with rotation_2d's convention:
     # global corner = local @ [[c, -s], [s, c]]  =>  local = global @ [[c, s], [-s, c]]
@@ -220,6 +212,31 @@ def points_in_rbbox(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
         & (np.abs(ly) <= half[None, :, 1])
         & (np.abs(lz) <= half[None, :, 2])
     )
+
+
+def points_in_rbbox(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """[P, >=3] points vs [N, 7] center-origin lidar boxes -> bool [P, N].
+
+    Equivalent to the reference's surface-based test
+    (box_np_ops.points_in_rbbox) but done by rotating points into each box
+    frame, which is exact for rectangular boxes. A bounding-sphere
+    prefilter (one BLAS GEMM for all point-center distances; a box lies
+    within ||half extents|| of its center) keeps the [P, N, 3] rotation
+    tensors to the few points near boxes.
+    """
+    if boxes.shape[0] == 0 or points.shape[0] == 0:
+        return np.zeros((points.shape[0], boxes.shape[0]), dtype=bool)
+    p3 = np.ascontiguousarray(points[:, :3])
+    centers = boxes[:, :3]
+    r2 = (boxes[:, 3:6] ** 2).sum(-1) * 0.25
+    d2 = ((p3 ** 2).sum(-1)[:, None] - 2.0 * (p3 @ centers.T)
+          + (centers ** 2).sum(-1)[None, :])
+    cand = np.flatnonzero(
+        (d2 <= r2[None, :] * (1.0 + 1e-9) + 1e-12).any(axis=1))
+    out = np.zeros((points.shape[0], boxes.shape[0]), dtype=bool)
+    if cand.size:
+        out[cand] = _points_in_rbbox_dense(p3[cand], boxes)
+    return out
 
 
 def points_count_rbbox(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:

@@ -116,3 +116,34 @@ def test_camera_lidar_roundtrip(rng):
     # angle is recovered modulo 2*pi
     dr = np.mod(back[:, 6] - cam_boxes[:, 6] + np.pi, 2 * np.pi) - np.pi
     np.testing.assert_allclose(dr, 0.0, atol=1e-8)
+
+
+def test_points_in_rbbox_prefilter_matches_dense():
+    """The bounding-sphere prefilter is an exact bound: the output must be
+    element-identical to the dense rotation test, including boundary points
+    (points exactly on faces/corners)."""
+    from sessd_tpu.core.box_np import _points_in_rbbox_dense, points_in_rbbox
+
+    rng = np.random.RandomState(0)
+    for trial in range(6):
+        n = rng.randint(1, 20)
+        boxes = np.zeros((n, 7))
+        boxes[:, 0] = rng.uniform(0, 70, n)
+        boxes[:, 1] = rng.uniform(-40, 40, n)
+        boxes[:, 2] = rng.uniform(-1.5, -0.5, n)
+        boxes[:, 3:6] = np.abs(rng.normal([1.6, 3.9, 1.56], 0.4, (n, 3)))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+        far = np.concatenate([rng.uniform(0, 70, (3000, 1)),
+                              rng.uniform(-40, 40, (3000, 1)),
+                              rng.uniform(-2.5, 1.5, (3000, 1))], axis=1)
+        near = boxes[rng.randint(0, n, 1500), :3] + rng.normal(0, 1.5, (1500, 3))
+        # exact corner points: on the sphere AND box boundary
+        from sessd_tpu.core.box_np import center_to_corner_box3d
+        corners = center_to_corner_box3d(boxes[:, :3], boxes[:, 3:6],
+                                         boxes[:, 6], origin=(0.5, 0.5, 0.5),
+                                         axis=2).reshape(-1, 3)
+        pts = np.concatenate([far, near, corners])
+        got = points_in_rbbox(pts, boxes)
+        want = _points_in_rbbox_dense(np.ascontiguousarray(pts[:, :3]), boxes)
+        np.testing.assert_array_equal(got, want)
+        assert want.any()
