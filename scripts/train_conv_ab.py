@@ -7,6 +7,7 @@ training forward+backward too (conv_impl="pallas"). In serving the kernel
 beats the gather ~2x at the 16/32ch stages — this measures whether that
 carries to the dfs=3 bf16+hostrb training step. Run alone on the TPU.
 """
+import os
 import sys
 import time
 from pathlib import Path
@@ -30,7 +31,12 @@ def main():
     from sessd_tpu.train.optim import OneCycleConfig, build_optimizer
     from sessd_tpu.train.train_step import create_train_state, make_train_step
 
-    b = 4
+    # B=1 by default: at B=4 the _core bwd kernel's resident dfeat
+    # ([32, 88k] f32 = 11 MB) exceeds VMEM and spans stack past the
+    # single-level windows — establish the kernel-vs-gather ratio at B=1
+    # (everything fits, windows measured non-fallback on b1 scenes) before
+    # investing in a streaming/two-level bwd.
+    b = int(os.environ.get("AB_BATCH", "1"))
     opt = build_optimizer(OneCycleConfig(total_steps=1000))
     dev = jax.devices()[0]
     cpu = jax.local_devices(backend="cpu")[0]
