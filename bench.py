@@ -248,8 +248,11 @@ def main():
         # comma-separated batch sizes, e.g. SESSD_BATCH=4,8 — batch-1 stays
         # the headline (reference reports per-frame latency); batched rates
         # show the chip's throughput headroom
+        # batch 8 engages the streaming wconv (features in HBM, double-
+        # buffered window DMAs) — included to demonstrate the >16MB-VMEM
+        # regime; batch 4 is the throughput point (CLAUDE.md r3 session-3)
         for bsz in [int(b) for b in
-                    os.environ.get("SESSD_BATCH", "4").split(",")]:
+                    os.environ.get("SESSD_BATCH", "4,8").split(",")]:
             if bsz <= 1:
                 continue
             # throughput serving: one chain over the (B, D, H, W) grid
