@@ -213,12 +213,19 @@ class SpMiddleFHD(nn.Module):
     # measured per-offset-per-block spans (exact prep_rulebook semantics,
     # realistic ray-cast scenes): subm 765/1645/952/609 at batch 1,
     # 767/1731/1153/609 batched x4; down 703/1774/944/520 and
-    # 730/1774/1622/538. Windows are the next 128-multiples with headroom
-    # (the old 768/1536 were 1-row from falling back at stage 0/2).
-    # exactness bound: any block whose span exceeds the LARGE window trips
-    # the whole conv to the gather fallback
-    subm_windows: Tuple[int, ...] = (896, 2048, 1280, 768)
-    down_windows: Tuple[int, ...] = (1024, 2048, 1792, 768)
+    # 730/1774/1622/538 — but UNAUGMENTED teacher chains in training reach
+    # subm1 2157 / down1 2031 / subm2 1261 / subm0 877, i.e. past or within
+    # one row of the old (896, 2048, 1280, 768)/(1024, 2048, 1792, 768)
+    # large windows, silently tripping whole convs to the gather fallback
+    # every step. These LARGE windows bound only the patch kernel (a few
+    # blocks per conv), but its GEMM width still shows up in serving (2560
+    # at stage 1 cost ~2% e2e; 2304 — one 128-block above the worst
+    # measured span — is the measured sweet spot). Exactness bound: any
+    # block whose span exceeds the LARGE window trips the whole conv to
+    # the gather fallback (counted by serve.fallback_telemetry, logged
+    # one-time by Trainer for train/eval chains and by bench.py).
+    subm_windows: Tuple[int, ...] = (1024, 2304, 1536, 768)
+    down_windows: Tuple[int, ...] = (1280, 2304, 2048, 896)
     # two-level fused kernel: the common-case slice width (~p99 of the
     # per-(offset, block) span distribution; the one-hot GEMM FLOPs scale
     # linearly with it), with the rare long-span blocks taking the LARGE

@@ -204,6 +204,11 @@ def serving_window_config(batch_size: int) -> dict:
     patch_max ~linearly and lift the three large windows the spans exceed,
     else five of the eight convs trip the whole-conv gather fallback.
     """
+    # the LARGE (patch-kernel) windows are left at the SpMiddleFHD defaults:
+    # ray-cast scenes at other seeds reach subm1 spans ~2160 (> the 2048
+    # these branches were first measured with — seed luck, not headroom),
+    # and the patch-kernel cost of the lift is ~0.1 ms (few blocks/conv)
+    # vs a ~7x whole-conv fallback when a dense scan exceeds the window
     if batch_size <= 2:
         return dict(subm_windows_small=(384, 512, 384, 256),
                     down_windows_small=(640, 768, 256, 256),
@@ -214,8 +219,10 @@ def serving_window_config(batch_size: int) -> dict:
                     patch_max=32)
     return dict(subm_windows_small=(384, 512, 384, 384),
                 down_windows_small=(640, 1024, 768, 384),
+                # elementwise max of the measured b8/b16 lifts and the
+                # SpMiddleFHD defaults (span headroom, see above)
                 subm_windows=(1152, 2304, 1536, 768),
-                down_windows=(1024, 2304, 2304, 768),
+                down_windows=(1280, 2304, 2304, 896),
                 # worst measured n_over/scene ~ 7 (down2, b8/b16); invalid
                 # patch programs are a cheap @pl.when skip, so size with
                 # ~1.7x headroom

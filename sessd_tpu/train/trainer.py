@@ -215,6 +215,7 @@ class Trainer:
                 "enable_ssl", True) else 0.0
             t_data = time.time()
             for it, batch in enumerate(self.train_loader):
+                self._log_train_fallbacks(batch)
                 db = _device_batch(batch, self.anchors_np)
                 if self.mesh is not None:
                     db = shard_batch(db, self.mesh)
@@ -368,6 +369,47 @@ class Trainer:
             else:
                 self.logger.info(msg)
         except Exception:  # telemetry must never break eval
+            pass
+
+    def _log_train_fallbacks(self, batch):
+        """One-time span telemetry on the loader-built TRAIN chains (both
+        the augmented student and the raw teacher rulebooks): a block whose
+        source span exceeds window_large trips the whole conv to the slow
+        in-graph gather fallback with no runtime signal — the unaugmented
+        teacher chains are the densest (measured subm1 spans to ~2160), so
+        they are the ones to watch."""
+        if getattr(self, "_train_fb_logged", False):
+            return
+        rbs = {k: batch.get(k) for k in ("rulebooks", "rulebooks_raw")}
+        if all(v is None for v in rbs.values()):
+            return
+        self._train_fb_logged = True
+        try:
+            from ..serve import fallback_telemetry, window_config_from_detector
+
+            wcfg = window_config_from_detector(self.model)
+            b = batch["coords"].shape[0]
+            for name, rb in rbs.items():
+                if rb is None:
+                    continue
+                sharded = rb["perm"].ndim > 1
+                shards = rb["perm"].shape[0] if sharded else 1
+                chain = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a[0] if sharded else a), rb)
+                caps = [c * (b // shards)
+                        for c in self.model.stage_capacity]
+                tel = fallback_telemetry(chain, caps, wcfg)
+                msg = (f"train span telemetry [{name}]: fallback_convs="
+                       f"{tel['fallback_convs']} patched_blocks="
+                       f"{tel['patched_blocks']}")
+                if tel["fallback_convs"]:
+                    self.logger.warning(
+                        msg + " — these convs run the slow gather fallback "
+                        "every step; raise subm_windows/down_windows or "
+                        "patch_max on the detector")
+                else:
+                    self.logger.info(msg)
+        except Exception:  # telemetry must never break training
             pass
 
     def predict_samples(self, indices, use_ema: bool = False):
