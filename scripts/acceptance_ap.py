@@ -1,0 +1,218 @@
+"""Acceptance run: the reference's only acceptance test, executed end-to-end.
+
+The reference verifies itself exclusively by train -> official KITTI AP
+(/root/reference/tools/test.py:183-264, det3d/datasets/kitti/kitti.py:141-167).
+Real KITTI is unavailable in this environment, so this script runs the full
+production stack — synthetic KITTI root, GT-AUG database, loader with C++
+host rulebooks, the jitted bf16 teacher/student SE-SSD step, one-cycle AdamW,
+EMA — from scratch on the TPU at the full 0.05 m grid, then computes the
+OFFICIAL AP_11/AP_40 tables on a HELD-OUT synthetic val split and asserts a
+floor. Writes the machine-readable result to ACCEPTANCE.json at the repo
+root.
+
+Usage: python scripts/acceptance_ap.py [epochs] [n_train] [n_val]
+"""
+import json
+import os
+import pickle
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+CONFIG = """
+tasks = [dict(num_class=1, class_names=["Car"])]
+class_names = ["Car"]
+box_coder = dict(type="ground_box3d_coder", n_dim=7)
+my_paras = dict(batch_size=4, enable_ssl=True)
+model = dict(
+    type="VoxelNet",
+    reader=dict(type="VoxelFeatureExtractorV3", num_input_features=4),
+    backbone=dict(type="SpMiddleFHD", num_input_features=4, ds_factor=8),
+    neck=dict(type="SSFA", num_input_features=128),
+    bbox_head=dict(
+        type="MultiGroupHead", mode="3d", in_channels=128, tasks=tasks,
+        box_coder=box_coder, encode_background_as_zeros=True,
+        loss_norm=dict(type="NormByNumPositives"),
+        loss_cls=dict(type="SigmoidFocalLoss", alpha=0.25, gamma=2.0,
+                      loss_weight=1.0),
+        use_sigmoid_score=True,
+        loss_bbox=dict(type="WeightedSmoothL1Loss", sigma=3.0, codewise=True,
+                       loss_weight=2.0),
+        encode_rad_error_by_sin=True,
+        loss_aux=dict(type="WeightedSoftmaxClassificationLoss", loss_weight=0.2),
+        direction_offset=0.0,
+    ),
+)
+target_assigner = dict(
+    type="iou",
+    anchor_generators=[dict(
+        type="anchor_generator_range", sizes=[1.6, 3.9, 1.56],
+        anchor_ranges=[0, -40.0, -1.0, 70.4, 40.0, -1.0], rotations=[0, 1.57],
+        matched_threshold=0.6, unmatched_threshold=0.45, class_name="Car")],
+    sample_positive_fraction=-1, sample_size=512,
+    region_similarity_calculator=dict(type="nearest_iou_similarity"),
+    tasks=tasks,
+)
+assigner = dict(box_coder=box_coder, target_assigner=target_assigner,
+                out_size_factor=8, enable_similar_type=True)
+train_cfg = dict(assigner=assigner)
+test_cfg = dict(
+    nms=dict(use_rotate_nms=True, nms_pre_max_size=1000,
+             nms_post_max_size=100, nms_iou_threshold=0.01),
+    score_threshold=0.3,
+    post_center_limit_range=[0, -40.0, -5.0, 70.4, 40.0, 5.0],
+    max_per_img=100,
+)
+voxel_generator = dict(
+    range=[0, -40.0, -3.0, 70.4, 40.0, 1.0],
+    voxel_size=[0.05, 0.05, 0.1],
+    max_points_in_voxel=5, max_voxel_num=20000,
+)
+data_root = "{ROOT}"
+db_sampler = dict(type="GT-AUG", enable=True,
+                  db_info_path=data_root + "/dbinfos_train.pkl",
+                  sample_groups=[dict(Car=15)],
+                  db_prep_steps=[dict(filter_by_min_num_points=dict(Car=5)),
+                                 dict(filter_by_difficulty=[-1])],
+                  rate=1.0)
+train_preprocessor = dict(mode="train", shuffle_points=True,
+                          gt_loc_noise=[0.25, 0.25, 0.25],
+                          gt_rot_noise=[-0.157, 0.157],
+                          global_rot_noise=[-0.785, 0.785],
+                          global_scale_noise=[0.95, 1.05],
+                          remove_points_after_sample=True,
+                          db_sampler=db_sampler,
+                          class_names=class_names, enable_similar_type=True)
+data = dict(
+    samples_per_gpu=4, workers_per_gpu=2,
+    train=dict(type="KittiDataset", root_path=data_root,
+               info_path=data_root + "/infos_train.pkl",
+               class_names=class_names),
+    val=dict(type="KittiDataset", root_path=data_root,
+             info_path=data_root + "/infos_val.pkl",
+             class_names=class_names),
+)
+optimizer = dict(type="adam", wd=0.01, fixed_wd=True)
+optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
+lr_config = dict(type="one_cycle", lr_max=0.003, moms=[0.95, 0.85],
+                 div_factor=10.0, pct_start=0.4)
+checkpoint_config = dict(interval=1000)
+log_config = dict(interval=10)
+total_epochs = {EPOCHS}
+work_dir = "{WORK}"
+load_from = None
+resume_from = None
+workflow = [("train", {EPOCHS}), ("val", 1)]
+precision = "bfloat16"
+"""
+
+# floor: far below reference-on-real-KITTI numbers but far above chance —
+# proves the assembled recipe (targets, losses, optimizer, EMA, predict,
+# eval) trains to real detections on held-out scenes
+FLOOR_METRIC = ("3d", 0, "AP40")  # metric, difficulty=easy, table
+FLOOR_VALUE = 70.0
+
+
+def main(epochs=80, n_train=24, n_val=8):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from kitti_synth import make_kitti_root
+
+    from sessd_tpu.config import Config
+    from sessd_tpu.data import kitti_common as kc
+    from sessd_tpu.train.trainer import Trainer
+
+    tmp = tempfile.mkdtemp(prefix="accept_")
+    wall0 = time.perf_counter()
+    try:
+        root = os.path.join(tmp, "kitti")
+        t0 = time.perf_counter()
+        n_frames = n_train + n_val
+        make_kitti_root(root, num_frames=n_frames, num_cars=10,
+                        pts_per_car=400, ground_points=16000)
+        train_ids = list(range(n_train))
+        val_ids = list(range(n_train, n_frames))
+        for name, ids in (("infos_train.pkl", train_ids),
+                          ("infos_val.pkl", val_ids)):
+            infos = kc.create_kitti_info(root, ids, num_workers=2)
+            with open(os.path.join(root, name), "wb") as f:
+                pickle.dump(infos, f)
+        kc.create_reduced_point_cloud(root, os.path.join(root, "infos_train.pkl"))
+        kc.create_reduced_point_cloud(root, os.path.join(root, "infos_val.pkl"))
+        # GT-AUG database from the TRAIN split only (no val leakage)
+        kc.create_groundtruth_database(
+            root, os.path.join(root, "infos_train.pkl"),
+            dbinfo_path=os.path.join(root, "dbinfos_train.pkl"),
+            used_classes=("Car",))
+        print(f"data prep: {time.perf_counter() - t0:.1f}s", flush=True)
+
+        text = (CONFIG.replace("{ROOT}", root)
+                .replace("{WORK}", os.path.join(tmp, "work"))
+                .replace("{EPOCHS}", str(epochs)))
+        cfg_path = os.path.join(tmp, "cfg.py")
+        with open(cfg_path, "w") as f:
+            f.write(text)
+
+        cfg = Config.fromfile(cfg_path)
+        t0 = time.perf_counter()
+        trainer = Trainer(cfg, work_dir=os.path.join(tmp, "work"))
+        print(f"trainer init: {time.perf_counter() - t0:.1f}s", flush=True)
+
+        t0 = time.perf_counter()
+        results = trainer.run()
+        train_s = time.perf_counter() - t0
+        steps = int(jax.device_get(trainer.state.step))
+        print(f"trained {steps} steps + final val in {train_s:.1f}s",
+              flush=True)
+        results_ema = trainer.validate(use_ema=True)
+
+        def table(res):
+            if not res:
+                return None
+            car = res["Car"]
+            return {m: {{0: "easy", 1: "moderate", 2: "hard"}[d]:
+                        {k: round(v, 2) for k, v in car[m][d].items()}
+                        for d in (0, 1, 2)}
+                    for m in ("bbox", "bev", "3d")}
+
+        mname, diff, key = FLOOR_METRIC
+        floor_ap = float(results["Car"][mname][diff][key])
+        record = {
+            "acceptance": "train->official-KITTI-AP on held-out synthetic val",
+            "date": time.strftime("%Y-%m-%d"),
+            "hardware": str(jax.devices()[0]),
+            "epochs": epochs, "steps": steps,
+            "train_frames": n_train, "val_frames": n_val,
+            "scenes_trained": steps * cfg.data["samples_per_gpu"],
+            "voxel_size_m": 0.05, "max_voxels": 20000, "batch": 4,
+            "precision": "bfloat16", "from_scratch": True,
+            "train_plus_eval_s": round(train_s, 1),
+            "wall_s": round(time.perf_counter() - wall0, 1),
+            "student_ap": table(results),
+            "teacher_ema_ap": table(results_ema),
+            "floor": {"metric": f"{key} {mname} easy", "value": round(floor_ap, 2),
+                      "required": FLOOR_VALUE,
+                      "passed": bool(floor_ap >= FLOOR_VALUE)},
+        }
+        out_path = REPO / "ACCEPTANCE.json"
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1)
+        print(json.dumps(record, indent=1), flush=True)
+        print("ACCEPTANCE", "PASSED" if record["floor"]["passed"] else "FAILED",
+              flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

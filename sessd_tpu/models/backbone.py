@@ -224,6 +224,11 @@ class SpMiddleFHD(nn.Module):
     # block whose span exceeds the LARGE window trips the whole conv to
     # the gather fallback (counted by serve.fallback_telemetry, logged
     # one-time by Trainer for train/eval chains and by bench.py).
+    # NOTE: 2304 leaves ~147 rows of headroom over the worst span measured
+    # on synthetic ray-cast scenes (2157). Real-data deployments with
+    # denser scans should check the fallback_convs telemetry on their own
+    # distribution before trusting the throughput numbers — a fallback is
+    # exact but ~7x slower.
     subm_windows: Tuple[int, ...] = (1024, 2304, 1536, 768)
     down_windows: Tuple[int, ...] = (1280, 2304, 2048, 896)
     # two-level fused kernel: the common-case slice width (~p99 of the

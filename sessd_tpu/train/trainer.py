@@ -348,7 +348,6 @@ class Trainer:
         ~7x slowdown the windows are tuned against)."""
         if rb is None or getattr(self, "_eval_fb_logged", False):
             return
-        self._eval_fb_logged = True
         try:
             from ..serve import fallback_telemetry, window_config_from_detector
 
@@ -368,8 +367,9 @@ class Trainer:
                     "raise the windows/patch_max for this batch size")
             else:
                 self.logger.info(msg)
+            self._eval_fb_logged = True
         except Exception:  # telemetry must never break eval
-            pass
+            self.logger.debug("eval span telemetry failed", exc_info=True)
 
     def _log_train_fallbacks(self, batch):
         """One-time span telemetry on the loader-built TRAIN chains (both
@@ -383,7 +383,6 @@ class Trainer:
         rbs = {k: batch.get(k) for k in ("rulebooks", "rulebooks_raw")}
         if all(v is None for v in rbs.values()):
             return
-        self._train_fb_logged = True
         try:
             from ..serve import fallback_telemetry, window_config_from_detector
 
@@ -394,23 +393,33 @@ class Trainer:
                     continue
                 sharded = rb["perm"].ndim > 1
                 shards = rb["perm"].shape[0] if sharded else 1
-                chain = jax.tree_util.tree_map(
-                    lambda a: np.asarray(a[0] if sharded else a), rb)
                 caps = [c * (b // shards)
                         for c in self.model.stage_capacity]
-                tel = fallback_telemetry(chain, caps, wcfg)
-                msg = (f"train span telemetry [{name}]: fallback_convs="
-                       f"{tel['fallback_convs']} patched_blocks="
-                       f"{tel['patched_blocks']}")
-                if tel["fallback_convs"]:
+                # all shards (one-time host numpy, negligible): a dense
+                # scene on ANY shard past window_large means every step
+                # pays the fallback
+                fb = pb = 0
+                for s in range(shards):
+                    chain = jax.tree_util.tree_map(
+                        lambda a: np.asarray(a[s] if sharded else a), rb)
+                    tel = fallback_telemetry(chain, caps, wcfg)
+                    fb += tel["fallback_convs"]
+                    pb += tel["patched_blocks"]
+                msg = (f"train span telemetry [{name}] (first batch only, "
+                       f"{shards} shard(s)): fallback_convs={fb} "
+                       f"patched_blocks={pb}")
+                if fb:
                     self.logger.warning(
                         msg + " — these convs run the slow gather fallback "
                         "every step; raise subm_windows/down_windows or "
                         "patch_max on the detector")
                 else:
                     self.logger.info(msg)
+            # only disarm after a successful pass: a transient first-batch
+            # failure must not permanently disable the guard
+            self._train_fb_logged = True
         except Exception:  # telemetry must never break training
-            pass
+            self.logger.debug("train span telemetry failed", exc_info=True)
 
     def predict_samples(self, indices, use_ema: bool = False):
         """Per-sample debug evaluation — the ``test_v2`` affordance
