@@ -128,6 +128,53 @@ def _serving_score_prior(variables):
         params, jax.devices()[0]))
 
 
+def _bench_train(extra):
+    """Measure the production training step (B=4, bf16, dfs=3, host
+    rulebooks — the Trainer's default topology) so BENCH_r*.json records
+    the training operating point alongside serving. Reuses the full-scale
+    batch harness from scripts/train_ab.py. SESSD_BENCH_TRAIN=0 skips."""
+    if os.environ.get("SESSD_BENCH_TRAIN", "1") != "1":
+        return
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    import jax
+    import jax.numpy as jnp
+
+    from train_ab import add_host_rulebooks, make_full_batch
+
+    from sessd_tpu.models import VoxelNet
+    from sessd_tpu.train.losses import LossConfig
+    from sessd_tpu.train.optim import OneCycleConfig, build_optimizer
+    from sessd_tpu.train.train_step import create_train_state, make_train_step
+
+    b = 4
+    batch = make_full_batch(b=b)
+    batch_dev = jax.device_put(add_host_rulebooks(batch, b), jax.devices()[0])
+    opt = build_optimizer(OneCycleConfig(total_steps=1000))
+    model = VoxelNet(sparse_shape=(41, 1600, 1408), dtype=jnp.bfloat16,
+                     backbone_remat=False, dense_from_stage=3)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        state = create_train_state(
+            VoxelNet(sparse_shape=(41, 1600, 1408), conv_impl="gather"),
+            opt, jax.tree_util.tree_map(np.asarray, batch), batch_size=b)
+    state = jax.device_put(state, jax.devices()[0])
+    step = jax.jit(make_train_step(model, opt, LossConfig(),
+                                   compute_teacher_metrics=False))
+    state, metrics = step(state, batch_dev, jnp.float32(0.5))
+    float(metrics["loss"])  # forced readback (compile + warm)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_dev, jnp.float32(0.5))
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    extra["train_step_ms_b4"] = round(dt * 1e3, 1)
+    extra["train_scenes_per_sec_chip"] = round(b / dt, 2)
+
+
 def main():
     _wait_for_backend()
     import jax
@@ -300,6 +347,7 @@ def main():
                 f"batch{bsz}_fallback_convs": sum(t["fallback_convs"]
                                                   for t in telb),
             })
+        _bench_train(extra)
         _report(iters / dt, lat, extra)
         return
 

@@ -6,9 +6,14 @@ writes pillar features into a dense BEV canvas. The RPN neck is the classic
 multi-scale conv/deconv stack. All NHWC, static-capacity, mask-aware.
 
 Note: the reference's ``f_center`` decoration drops the point coordinates
-(pillar_encoder.py:129-136 zeroes them); we implement the standard
-PointPillars decoration (point minus pillar center), which is what the
-published PointPillars results use.
+(pillar_encoder.py:129-136 zeroes them), and its PFN max-pool runs over the
+PADDED point rows (the decorated features are masked once before the PFN,
+pillar_encoder.py:147-151, but after linear+BN+relu the padded rows carry
+the BN affine of zero and participate in the max). We implement the standard
+PointPillars decoration (point minus pillar center) and a mask-exact max by
+default — ``ref_compat=True`` reproduces both reference quirks bit-exactly
+(golden-tested against the reference's own torch modules in
+tests/test_pillars_goldens.py).
 """
 from __future__ import annotations
 
@@ -26,6 +31,9 @@ class PFNLayer(nn.Module):
     last: bool = True
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    # reproduce the reference's unmasked max-pool (pillar_encoder.py:51):
+    # padded rows carry relu(BN(0)) and participate in the max
+    ref_compat: bool = False
 
     @nn.compact
     def __call__(self, x, point_mask, pillar_mask, train: bool):
@@ -37,9 +45,12 @@ class PFNLayer(nn.Module):
         x = MaskedBatchNorm(axis_name=self.axis_name, dtype=self.dtype)(
             x.reshape(v * p, units), flat_mask, train).reshape(v, p, units)
         x = nn.relu(x)
-        x = jnp.where(point_mask[..., None], x, -jnp.inf)
-        x_max = jnp.max(x, axis=1, keepdims=True)
-        x_max = jnp.where(jnp.isfinite(x_max), x_max, 0.0)
+        if self.ref_compat:
+            x_max = jnp.max(x, axis=1, keepdims=True)
+        else:
+            x = jnp.where(point_mask[..., None], x, -jnp.inf)
+            x_max = jnp.max(x, axis=1, keepdims=True)
+            x_max = jnp.where(jnp.isfinite(x_max), x_max, 0.0)
         if self.last:
             return x_max[:, 0, :]
         x = jnp.where(point_mask[..., None], x, 0.0)
@@ -53,6 +64,10 @@ class PillarFeatureNet(nn.Module):
     pc_range: Tuple[float, ...] = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
     axis_name: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
+    # reproduce the reference's f_center quirk (pillar_encoder.py:129-136:
+    # the point xy is zeroed, leaving just the negated pillar center) and
+    # its unmasked PFN max-pool
+    ref_compat: bool = False
 
     @nn.compact
     def __call__(self, voxels, num_points, coords_bzyx, pillar_mask, train: bool = False):
@@ -68,8 +83,13 @@ class PillarFeatureNet(nn.Module):
         vx, vy = self.voxel_size
         px = coords_bzyx[:, 3].astype(voxels.dtype) * vx + (vx / 2 + self.pc_range[0])
         py = coords_bzyx[:, 2].astype(voxels.dtype) * vy + (vy / 2 + self.pc_range[1])
-        f_center = jnp.stack(
-            [voxels[:, :, 0] - px[:, None], voxels[:, :, 1] - py[:, None]], axis=-1)
+        if self.ref_compat:
+            zero = jnp.zeros_like(voxels[:, :, 0])
+            f_center = jnp.stack(
+                [zero - px[:, None], zero - py[:, None]], axis=-1)
+        else:
+            f_center = jnp.stack(
+                [voxels[:, :, 0] - px[:, None], voxels[:, :, 1] - py[:, None]], axis=-1)
 
         x = jnp.concatenate(
             [voxels[:, :, : self.num_input_features], f_cluster, f_center], axis=-1)
@@ -77,7 +97,8 @@ class PillarFeatureNet(nn.Module):
 
         for i, f in enumerate(self.num_filters):
             x = PFNLayer(f, last=(i == len(self.num_filters) - 1),
-                         axis_name=self.axis_name, dtype=self.dtype)(
+                         axis_name=self.axis_name, dtype=self.dtype,
+                         ref_compat=self.ref_compat)(
                 x, point_mask, pillar_mask, train)
         return jnp.where(pillar_mask[:, None], x, 0.0)
 

@@ -246,6 +246,92 @@ def window_config_from_detector(detector):
     return SpMiddleFHD(**kw)
 
 
+# training-safety capacities: ~2x realistic stage occupancies (the loader /
+# Trainer default; scripts/ab_caps.py) — the exact-fallback target when a
+# denser-than-expected scene saturates the tighter SERVING_CAPS
+TRAIN_CAPS = (20000, 22000, 18000, 12000, 8000)
+
+
+def saturated_stages(rulebooks, caps) -> list:
+    """Stages whose id table is FULL — the chain truncated (or exactly
+    filled) that stage's voxels. Conservative: an exactly-full untruncated
+    stage also reports, which only costs a needless exact re-run."""
+    sentinel = np.iinfo(np.int32).max
+    return [i for i in range(len(caps))
+            if int((np.asarray(rulebooks["ids"][i]) < sentinel).sum())
+            >= caps[i]]
+
+
+class ExactBatchServer:
+    """Serving front end with an automatic EXACT fallback on capacity
+    saturation.
+
+    The fast path preps + infers at the tight SERVING_CAPS (the kernels
+    grid over capacity-padded blocks, so tighter caps are ~12-16% faster —
+    scripts/ab_caps.py). A scene denser than the caps were sized for would
+    silently TRUNCATE voxels at the saturated stage (the one remaining
+    silent-wrongness path in serving, VERDICT r3) — so every batch's chain
+    is checked host-side (ids-table-full, O(sum caps) numpy) and a
+    saturated batch is re-prepped and re-run at the training-safety
+    ``safe_caps``, whose stage-0 cap equals the reference's own
+    max_voxel_num=20000 truncation point (config.py:174-180): outputs stay
+    exact wherever the reference's are. The safe program compiles lazily on
+    the first saturated batch (cached thereafter); ``stats`` counts both
+    paths for telemetry.
+    """
+
+    def __init__(self, model, variables, anchors, predict_cfg, spec,
+                 serving_caps=SERVING_CAPS, safe_caps=TRAIN_CAPS,
+                 batch_size: int = 1):
+        if any(s < f for s, f in zip(safe_caps, serving_caps)):
+            raise ValueError("safe_caps must dominate serving_caps elementwise")
+        self.variables = variables
+        self.batch_size = int(batch_size)
+        self.fast_prep = HostPreprocessor(spec, serving_caps)
+        self.safe_prep = HostPreprocessor(spec, safe_caps)
+        self.fast_caps = [int(c) for c in serving_caps]
+        self.safe_caps = [int(c) for c in safe_caps]
+        self._mk = lambda caps: make_infer_fn(
+            model.clone(stage_capacity=tuple(caps)), variables, anchors,
+            predict_cfg, caps, batch_size=self.batch_size)
+        self.fast_infer = self._mk(self.fast_caps)
+        self._safe_infer = None
+        # a saturated stage only warrants the fallback where the safe caps
+        # actually add headroom — equal-cap stages (e.g. stage 0 ==
+        # max_voxel_num, the reference's own truncation point) saturate
+        # identically on both paths
+        self._fixable = [i for i in range(len(self.fast_caps))
+                         if self.safe_caps[i] > self.fast_caps[i]]
+        self.stats = {"fast": 0, "exact_fallback": 0, "safe_saturated": 0}
+
+    def _prep(self, prep, scenes):
+        if self.batch_size == 1 and len(scenes) == 1:
+            return prep(scenes[0])
+        assert len(scenes) == self.batch_size
+        return prep.batch(scenes)
+
+    def __call__(self, scenes):
+        """scenes: list of [P, 4] point arrays (len == batch_size) ->
+        (box3d_lidar, scores, valid) device arrays."""
+        p = self._prep(self.fast_prep, scenes)
+        caps_b = [c * self.batch_size for c in self.fast_caps]
+        sat = set(saturated_stages(p["rulebooks"], caps_b))
+        if not sat.intersection(self._fixable):
+            self.stats["fast"] += 1
+            return self.fast_infer(self.variables, p["feats"], p["rulebooks"])
+        self.stats["exact_fallback"] += 1
+        if self._safe_infer is None:
+            self._safe_infer = self._mk(self.safe_caps)
+        p = self._prep(self.safe_prep, scenes)
+        safe_b = [c * self.batch_size for c in self.safe_caps]
+        # stage 0 full at safe caps == the reference's own 20k-voxel
+        # truncation point; stages 1+ full means denser than 2x KITTI —
+        # surface it, don't hide it
+        if saturated_stages(p["rulebooks"], safe_b):
+            self.stats["safe_saturated"] += 1
+        return self._safe_infer(self.variables, p["feats"], p["rulebooks"])
+
+
 def make_infer_fn(model, variables, anchors, predict_cfg, caps,
                   batch_size: int = 1):
     """Returns a jitted (variables, feats, rulebooks) -> detections function.

@@ -132,3 +132,47 @@ def test_two_process_training(tmp_path):
     for k in sorted(shared):
         np.testing.assert_allclose(fm[k], fr[k], rtol=1e-5, atol=1e-6,
                                    err_msg=k)
+
+    # standalone distributed-eval CLI (the reference's tools/dist_test.py
+    # twin): tools/test.py --coordinator drives the same sharded eval from
+    # the CLI against the checkpoint written above; host 0's merged AP must
+    # match the single-host eval
+    port = socket.socket()
+    port.bind(("localhost", 0))
+    coord = f"localhost:{port.getsockname()[1]}"
+    port.close()
+    out_pkl = tmp_path / "dist_eval.pkl"
+    eval_child = (
+        "import sys, runpy\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "sys.argv = ['tools/test.py'] + sys.argv[1:]\n"
+        f"runpy.run_path({REPO + '/tools/test.py'!r}, run_name='__main__')\n")
+    script = tmp_path / "eval_child.py"
+    script.write_text(eval_child)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["JAX_NUM_CPU_DEVICES"] = "1"
+        argv = [sys.executable, str(script), str(cfg_path),
+                "--work_dir", str(work), "--coordinator", coord,
+                "--num-processes", "2", "--process-id", str(pid)]
+        if pid == 0:
+            argv += ["--out", str(out_pkl)]
+        procs.append(subprocess.Popen(
+            argv, cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = [p.communicate(timeout=2400)[0].decode(errors="replace")
+            for p in procs]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"dist-eval proc {pid} failed:\n{log[-4000:]}"
+    import pickle as _pickle
+
+    dist_results = _pickle.loads(out_pkl.read_bytes())
+    fd = flat(dist_results)
+    shared = set(fd) & set(fr)
+    assert shared
+    for k in sorted(shared):
+        np.testing.assert_allclose(fd[k], fr[k], rtol=1e-5, atol=1e-6,
+                                   err_msg=k)

@@ -1,5 +1,11 @@
 #!/usr/bin/env python
-"""Evaluate a checkpoint on the KITTI val split (tools/test.py equivalent)."""
+"""Evaluate a checkpoint on the KITTI val split (tools/test.py equivalent).
+
+Standalone distributed eval (the reference's tools/dist_test.py:1-110 twin):
+launch this script once per host with --coordinator/--num-processes/
+--process-id — each host runs inference on its val-split shard, the
+fixed-shape detection buffers are all-gathered, and host 0 merges + computes
+AP (Trainer._validate_multihost)."""
 import argparse
 import sys
 from pathlib import Path
@@ -20,7 +26,31 @@ def main():
                              "evaluation (test_v2, tools/test.py:55-118); "
                              "writes KITTI label txts to --save_dir")
     parser.add_argument("--save_dir", default="sample_eval_results")
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 for multi-host eval "
+                             "(tools/dist_test.py twin)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     args = parser.parse_args()
+
+    import os
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.coordinator is not None:
+        # same bootstrap as tools/train.py (the jax equivalent of the
+        # reference's init_dist + torch.distributed.launch in dist_test.py)
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            initialization_timeout=600,
+            shutdown_timeout_seconds=3600)
 
     from sessd_tpu.config import Config
     from sessd_tpu.train.trainer import Trainer
@@ -37,8 +67,8 @@ def main():
     trainer.logger.info(f"evaluating epoch {epoch} (ema={args.use_ema})")
 
     if args.eval_ids is not None:
-        import os
-
+        if trainer.num_hosts > 1:
+            raise SystemExit("--eval_ids is a single-host debug mode")
         from sessd_tpu.data.kitti_common import annos_to_kitti_label
 
         ds = trainer.val_dataset
@@ -62,11 +92,12 @@ def main():
         return
 
     results = trainer.validate(use_ema=args.use_ema)
-    if args.out and results is not None:
+    if args.out and results is not None:  # host 0 only (peers get None)
         import pickle
 
         with open(args.out, "wb") as f:
             pickle.dump(results, f)
+        trainer.logger.info(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
