@@ -90,7 +90,8 @@ def _squeeze_rulebooks(rb):
 def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
                     ema_decay_cap: float = 0.999,
                     compute_teacher_metrics: bool = True,
-                    axis_name: str | None = None):
+                    axis_name: str | None = None,
+                    teacher_model=None):
     """Builds the jittable train_step(state, batch, consistency_weight).
 
     batch (all leading dim B):
@@ -99,11 +100,19 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
         (teacher inputs, un-augmented), anchors [B, A, 7],
         labels/reg_targets (+ _raw) [B, A(, 7)],
         transformation: flipped/noise_rotation/noise_scale [B].
-    """
 
-    def apply(params, batch_stats, inputs, batch_size, rulebooks=None):
+    teacher_model: optional second module for the TEACHER forward only.
+    The teacher is inference-shaped (no grads flow through it), so it may
+    run a different execution plan (dense_from_stage / conv_impl) than the
+    student; the param tree is invariant under plan choice
+    (tests/test_backbone_hybrid.py), so the EMA pytree applies unchanged.
+    """
+    tea_model = teacher_model if teacher_model is not None else model
+
+    def apply(params, batch_stats, inputs, batch_size, rulebooks=None,
+              module=model):
         kw = {} if rulebooks is None else {"rulebooks": rulebooks}
-        preds, updates = model.apply(
+        preds, updates = module.apply(
             {"params": params, "batch_stats": batch_stats},
             *inputs, batch_size, train=True, mutable=["batch_stats"], **kw,
         )
@@ -122,7 +131,8 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
         # teacher forward (no grad; BN in batch-stats mode like
         # model_ema.train() at trainer_sessd.py:321)
         preds_tea, new_ema_stats = apply(
-            state.ema_params, state.ema_batch_stats, tea_inputs, b, rb_tea)
+            state.ema_params, state.ema_batch_stats, tea_inputs, b, rb_tea,
+            module=tea_model)
         preds_tea = jax.lax.stop_gradient(preds_tea)
 
         def loss_fn(params):

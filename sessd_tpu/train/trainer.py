@@ -120,9 +120,18 @@ class Trainer:
                 init_model, self.optimizer, init_batch,
                 batch_size=cfg.data["samples_per_gpu"])
 
+        # the teacher forward is inference-shaped (no grads), so it may run
+        # a different execution plan than the student (param tree invariant
+        # under plan — test_backbone_hybrid.py / test_teacher_plan.py)
+        teacher_model = None
+        tplan = {k: cfg[f"teacher_{k}"] for k in ("dense_from_stage",
+                                                  "conv_impl")
+                 if cfg.get(f"teacher_{k}") is not None}
+        if tplan and hasattr(self.model, "dense_from_stage"):
+            teacher_model = self.model.clone(**tplan)
         step = make_train_step(self.model, self.optimizer, self.loss_cfg,
                                ema_decay_cap=cfg.get("ema_decay_cap", 0.999),
-                               axis_name=axis)
+                               axis_name=axis, teacher_model=teacher_model)
         if self.mesh is not None:
             self.train_step = make_sharded_train_step(step, self.mesh)
             self.state = replicate(self.state, self.mesh)
@@ -143,6 +152,7 @@ class Trainer:
                 num_shards=n_shards)
 
         self.epoch = 0
+        self._snapshot_run_context()
         self.anchors_np = self.train_dataset.anchors.astype(np.float32)
         self.anchors = jnp.asarray(self.anchors_np)
         self._eval_fn = None
@@ -154,6 +164,41 @@ class Trainer:
         self._eval_rb_shards = (self.mesh.size
                                 if self.mesh is not None
                                 and self.num_hosts == 1 else 1)
+
+    # ------------------------------------------------------------------
+    def _snapshot_run_context(self):
+        """Record the exact run recipe into work_dir (host 0 only): config
+        source text + git revision + library versions. The TPU-idiomatic
+        twin of the reference's source-tree backup
+        (/root/reference/tools/train.py:85-92), which copies det3d/ into
+        work_dir — here the framework is pip-shaped, so the config text and
+        the repo SHA pin the run just as reproducibly."""
+        if self.host_id != 0:
+            return
+        try:
+            import os
+            import subprocess
+
+            os.makedirs(self.work_dir, exist_ok=True)
+            text = getattr(self.cfg, "text", "")
+            if text:
+                with open(f"{self.work_dir}/config_snapshot.py", "w") as f:
+                    f.write(text)
+            try:
+                sha = subprocess.run(
+                    ["git", "rev-parse", "HEAD"], capture_output=True,
+                    text=True, timeout=10,
+                    cwd=str(__import__("pathlib").Path(__file__).parent),
+                ).stdout.strip()
+            except Exception:
+                sha = ""
+            with open(f"{self.work_dir}/run_env.txt", "w") as f:
+                f.write(f"git_sha: {sha}\n")
+                f.write(f"jax: {jax.__version__}\n")
+                f.write(f"devices: {[str(d) for d in jax.devices()]}\n")
+                f.write(f"num_hosts: {self.num_hosts}\n")
+        except Exception as e:  # observability only — never block training
+            self.logger.debug(f"run-context snapshot failed: {e}")
 
     # ------------------------------------------------------------------
     def resume(self):
@@ -629,6 +674,11 @@ class Trainer:
                     "label_preds": dets["label_preds"][i][valid],
                     "metadata": meta,
                 })
+            # eval progress (the reference shows a ProgressBar,
+            # trainer_sessd.py:370-371) — one log line every ~25 batches
+            if bi % 25 == 24:
+                self.logger.info(
+                    f"eval {len(detections)}/{len(self.val_dataset)} samples")
         detections = detections[: len(self.val_dataset)]
         results, _ = self.val_dataset.evaluation(detections)
         if results is not None:
