@@ -116,7 +116,10 @@ class TextLogger:
     def step(self, epoch, it, iters_per_epoch, metrics: dict,
              lr: float = 0.0, data_time: float = 0.0, step_time: float = 0.0):
         self.done += 1
-        if (it + 1) % self.interval:
+        # gate on the GLOBAL step count, not the per-epoch iter: with tiny
+        # epochs (iters_per_epoch < interval) the per-epoch gate never
+        # fires and a whole run trains silently
+        if self.done % self.interval:
             return
         elapsed = time.time() - self.start
         eta = ""
