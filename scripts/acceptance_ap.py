@@ -110,6 +110,7 @@ load_from = None
 resume_from = None
 workflow = [("train", {EPOCHS}), ("val", 1)]
 precision = "bfloat16"
+val_interval = {VALINT}
 """
 
 # floor: far below reference-on-real-KITTI numbers but far above chance —
@@ -119,7 +120,7 @@ FLOOR_METRIC = ("3d", 0, "AP40")  # metric, difficulty=easy, table
 FLOOR_VALUE = 70.0
 
 
-def main(epochs=80, n_train=24, n_val=8):
+def main(epochs=80, n_train=24, n_val=8, val_interval=0, ground_points=16000):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -138,7 +139,7 @@ def main(epochs=80, n_train=24, n_val=8):
         t0 = time.perf_counter()
         n_frames = n_train + n_val
         make_kitti_root(root, num_frames=n_frames, num_cars=10,
-                        pts_per_car=400, ground_points=16000)
+                        pts_per_car=400, ground_points=ground_points)
         train_ids = list(range(n_train))
         val_ids = list(range(n_train, n_frames))
         for name, ids in (("infos_train.pkl", train_ids),
@@ -157,7 +158,8 @@ def main(epochs=80, n_train=24, n_val=8):
 
         text = (CONFIG.replace("{ROOT}", root)
                 .replace("{WORK}", os.path.join(tmp, "work"))
-                .replace("{EPOCHS}", str(epochs)))
+                .replace("{EPOCHS}", str(epochs))
+                .replace("{VALINT}", str(val_interval)))
         cfg_path = os.path.join(tmp, "cfg.py")
         with open(cfg_path, "w") as f:
             f.write(text)
@@ -210,6 +212,17 @@ def main(epochs=80, n_train=24, n_val=8):
         print("ACCEPTANCE", "PASSED" if record["floor"]["passed"] else "FAILED",
               flush=True)
     finally:
+        # preserve the training/AP-trajectory logs outside the temp tree
+        try:
+            dst = "/tmp/accept_work_logs"
+            os.makedirs(dst, exist_ok=True)
+            work = os.path.join(tmp, "work")
+            for name in os.listdir(work) if os.path.isdir(work) else []:
+                p = os.path.join(work, name)
+                if os.path.isfile(p):
+                    shutil.copy(p, dst)
+        except Exception:
+            pass
         shutil.rmtree(tmp, ignore_errors=True)
 
 

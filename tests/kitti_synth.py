@@ -74,12 +74,20 @@ def make_frame(root, idx, rng, num_cars=3, pts_per_car=150, ground_points=4000):
 
     write_png_stub(root / "training" / "image_2" / f"{sid}.png", *IMAGE_SHAPE)
 
-    # lidar boxes in front of the car, inside the camera frustum
+    # lidar boxes in front of the car, inside the camera frustum; rejection-
+    # sample centers >5 m apart (> two worst-case BEV half-diagonals ~4.6 m)
+    # so ground-truth cars never interpenetrate — overlapping GTs are
+    # unlearnable and cap the achievable AP at IoU 0.7
     boxes = []
+    centers = []
     for i in range(num_cars):
-        x = rng.uniform(10, 50)
-        # keep the car well inside the ~40deg half-angle camera FOV
-        y = rng.uniform(-0.5, 0.5) * x * 0.6
+        for _ in range(100):
+            x = rng.uniform(10, 50)
+            # keep the car well inside the ~40deg half-angle camera FOV
+            y = rng.uniform(-0.5, 0.5) * x * 0.6
+            if all((x - cx) ** 2 + (y - cy) ** 2 > 25.0 for cx, cy in centers):
+                break
+        centers.append((x, y))
         boxes.append([
             x, y, rng.uniform(-1.2, -0.6),
             rng.uniform(1.55, 1.7), rng.uniform(3.6, 4.2), rng.uniform(1.4, 1.7),
