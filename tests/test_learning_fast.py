@@ -1,11 +1,23 @@
-"""Fast always-on learning tier: ~30 full SE-SSD train steps on two tiny
-synthetic frames must (a) drive the composed loss down and (b) improve the
-best post-NMS BEV IoU against ground truth over the untrained net.
+"""Fast always-on learning tier: 100 full SE-SSD train steps (a complete
+one-cycle anneal) on two tiny synthetic frames must (a) drive the composed
+loss down and (b) improve the best post-NMS BEV IoU against ground truth
+over the untrained net.
 
 This is the ungated stand-in for the long-form system test in
 test_learning_e2e.py (200 steps, env-gated): same stack — pipeline, targets,
 teacher/student jitted step, EMA, predict — at a coarser grid and fewer
-steps, with thresholds set ~2x below observed values. VERDICT r3 item #1.
+steps.
+
+Grid choice matters: at a 0.8 m voxel grid over the full 70.4 m range the
+anchor stride is 6.4 m — a 4 m car midway between anchor centers cannot
+reach the 0.45 match threshold, so positives are scarce/extreme and the
+box head is unstable BY CONSTRUCTION (measured best-IoU oscillating
+0.0-0.3 across the anneal, seed-dependent). Same compute at half the
+range with 0.4 m voxels gives a 3.2 m stride and a stable trajectory
+(measured best-IoU 0.51 after the full 100-step anneal; mid-cycle noise
+0.0-0.32). The full anneal also matters — localization stabilizes only
+once the one-cycle lr decays. Thresholds sit ~1.7x below the observed
+final value. VERDICT r3 item #1.
 """
 import pickle
 
@@ -34,19 +46,21 @@ def test_loss_slope_and_postnms_iou_improve(tmp_path, rng):
     from sessd_tpu.train.trainer import _device_batch
 
     root = tmp_path / "kitti"
-    gt_by_frame = make_kitti_root(root, num_frames=2, num_cars=2)
+    gt_by_frame = make_kitti_root(root, num_frames=2, num_cars=4)
     infos = kc.create_kitti_info(root, [0, 1], num_workers=2)
     with open(root / "infos.pkl", "wb") as f:
         pickle.dump(infos, f)
 
-    # coarse 0.8 m grid: 88x96 BEV (both divisible by the ds factor 8),
-    # feature map 12x11 — small enough that the whole test (compile +
-    # 30 CPU steps + 2 evals) stays ~2 min
-    vox = VoxelizerSpec((0.0, -38.4, -3.0, 70.4, 38.4, 1.0),
-                        (0.8, 0.8, 0.1), max_points=5, max_voxels=1200)
+    # fine 0.4 m grid over HALF the range: 88x96 BEV (divisible by the ds
+    # factor 8), feature map 12x11, anchor stride 3.2 m — same compute as
+    # the naive 0.8 m full-range grid but with anchors dense enough to
+    # match a 4 m car anywhere (see module docstring); the whole test
+    # (compile + 100 CPU steps + 2 evals) stays ~4 min
+    vox = VoxelizerSpec((0.0, -19.2, -3.0, 35.2, 19.2, 1.0),
+                        (0.4, 0.4, 0.1), max_points=5, max_voxels=1600)
     cfg = PipelineConfig(
         voxelizer=vox, feature_map_size=(1, 12, 11),
-        anchor_range=(0.0, -38.4, -1.0, 70.4, 38.4, -1.0),
+        anchor_range=(0.0, -19.2, -1.0, 35.2, 19.2, -1.0),
         gt_loc_noise=(0.05, 0.05, 0.02), gt_rot_noise=(-0.05, 0.05),
         global_rot_noise=(-0.1, 0.1), global_scale_noise=(0.99, 1.01),
         sa_dropout=None, sa_sparsity=(0.0, 50), sa_swap=(0.0, 50),
@@ -58,8 +72,8 @@ def test_loss_slope_and_postnms_iou_improve(tmp_path, rng):
     anchors_np = train_ds.anchors.astype(np.float32)
 
     model = VoxelNet(sparse_shape=vox.sparse_shape, stage_capacity=(1200,) * 5)
-    steps = 30
-    opt = build_optimizer(OneCycleConfig(lr_max=2e-3, total_steps=steps,
+    steps = 100
+    opt = build_optimizer(OneCycleConfig(lr_max=1e-3, total_steps=steps,
                                          pct_start=0.3))
     lcfg = LossConfig(max_positive_anchors=32,
                       consistency=ConsistencyConfig(top_k=16))
@@ -73,7 +87,7 @@ def test_loss_slope_and_postnms_iou_improve(tmp_path, rng):
 
     state = create_train_state(model, opt, make_batch(0), batch_size=2)
 
-    pcfg = PredictConfig(nms_pre_max_size=64, nms_post_max_size=8,
+    pcfg = PredictConfig(nms_pre_max_size=64, nms_post_max_size=16,
                          score_threshold=0.001)
     anchors = jnp.asarray(anchors_np)
 
@@ -111,12 +125,13 @@ def test_loss_slope_and_postnms_iou_improve(tmp_path, rng):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all(), losses
 
-    # loss slope: observed ratio ~0.2 at 30 steps; require < 0.6
+    # loss slope: observed ratio ~0.09 at 100 steps; require < 0.6
     head, tail = np.mean(losses[:5]), np.mean(losses[-5:])
     assert tail < 0.6 * head, (head, tail)
 
     # post-NMS localization must improve over the untrained net
-    # (observed: ~0.0-0.1 before, >0.4 after 30 steps; require +0.1 and 0.25)
+    # (observed: 0.148 before — one anchor is lucky at init — and 0.512
+    # after the full 100-step anneal; require +0.1 and 0.3)
     iou_after = best_iou(state)
     assert iou_after > iou_before + 0.1, (iou_before, iou_after)
-    assert iou_after > 0.25, (iou_before, iou_after)
+    assert iou_after > 0.3, (iou_before, iou_after)
