@@ -175,6 +175,111 @@ def _bench_train(extra):
     extra["train_scenes_per_sec_chip"] = round(b / dt, 2)
 
 
+def _bench_pillars(extra):
+    """Measure PointPillars (BASELINE.json configs[0]) batch-1 serving on
+    the chip: host FCFS voxelize at the 0.16 m pillar spec feeding one
+    device jit (PFN -> dense BEV scatter -> RPN -> head -> decode + NMS).
+    All-dense and MXU-friendly — no rulebooks. SESSD_BENCH_PILLARS=0 skips.
+
+    Reference topology: det3d/models/readers/pillar_encoder.py:61-190 +
+    necks/rpn_v1.py:24-116 at the pillar config scale (496x432 grid)."""
+    if os.environ.get("SESSD_BENCH_PILLARS", "1") != "1":
+        return
+    import jax
+    import jax.numpy as jnp
+
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+    from sessd_tpu.models import PointPillars
+    from sessd_tpu.models.predict import PredictConfig, predict_batch
+    from sessd_tpu.ops.voxelize import VoxelizerSpec, voxelize_np
+    from sessd_tpu.utils.native import get_native
+
+    spec = VoxelizerSpec((0.0, -39.68, -3.0, 69.12, 39.68, 1.0),
+                         (0.16, 0.16, 4.0), max_points=100, max_voxels=12000)
+    dtype = jnp.bfloat16
+    model = PointPillars(grid_size=(496, 432), voxel_size=(0.16, 0.16),
+                         pc_range=spec.point_cloud_range, dtype=dtype)
+    anchors = jnp.asarray(create_anchors_3d_range(
+        (1, 248, 216),
+        (0.0, -39.68, -1.0, 69.12, 39.68, -1.0)).reshape(-1, 7))
+    pcfg = PredictConfig(
+        post_center_range=(0.0, -39.68, -5.0, 69.12, 39.68, 5.0))
+    native = get_native()
+
+    def prep(pts):
+        if native is not None:
+            v, c, n = native.voxelize(pts, spec.point_cloud_range,
+                                      spec.voxel_size, spec.max_points,
+                                      spec.max_voxels)
+        else:
+            v, c, n = voxelize_np(pts, spec)
+        k = v.shape[0]
+        pv = np.zeros((spec.max_voxels, spec.max_points, 4), np.float32)
+        pc = np.zeros((spec.max_voxels, 4), np.int32)
+        pn = np.zeros((spec.max_voxels,), np.int32)
+        pm = np.zeros((spec.max_voxels,), bool)
+        pv[:k], pc[:k, 1:], pn[:k], pm[:k] = v, c, n, True
+        return pv, pc, pn, pm
+
+    scenes = [np.asarray(make_scene(seed=s)[0]) for s in range(4)]
+    prep(scenes[0])  # warm allocations (THP)
+    prepped = []
+    t0 = time.perf_counter()
+    for pts in scenes:
+        prepped.append(prep(pts))
+    host_ms = (time.perf_counter() - t0) / len(scenes) * 1e3
+
+    dev = jax.devices()[0]
+    staged = [jax.tree_util.tree_map(lambda a: jax.device_put(a, dev), p)
+              for p in prepped]
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            variables = model.init(jax.random.PRNGKey(0),
+                                   *jax.tree_util.tree_map(np.asarray,
+                                                           prepped[0]),
+                                   1, train=False)
+        variables = jax.device_put(
+            jax.tree_util.tree_map(np.asarray, variables), dev)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), *staged[0], 1,
+                               train=False)
+    variables = _serving_score_prior(variables)
+
+    @jax.jit
+    def infer(variables, voxels, coords, npts, mask):
+        preds = model.apply(variables, voxels, coords, npts, mask, 1,
+                            train=False)
+        dets = predict_batch(preds[0], anchors, None, pcfg)
+        return dets["box3d_lidar"], dets["scores"], dets["valid"]
+
+    def fetch(out):
+        return float(np.asarray(out[1][0, 0]))
+
+    out = infer(variables, *staged[0])
+    fetch(out)
+    for s in staged:
+        out = infer(variables, *s)
+    fetch(out)
+
+    iters = 30
+    dt = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = infer(variables, *staged[i % len(staged)])
+        fetch(out)
+        d = time.perf_counter() - t0
+        dt = d if dt is None else min(dt, d)
+    extra["pillars_scenes_per_sec"] = round(iters / dt, 3)
+    extra["pillars_step_ms"] = round(dt / iters * 1e3, 2)
+    extra["pillars_host_prep_ms"] = round(host_ms, 2)
+
+
 def main():
     _wait_for_backend()
     import jax
@@ -347,6 +452,7 @@ def main():
                 f"batch{bsz}_fallback_convs": sum(t["fallback_convs"]
                                                   for t in telb),
             })
+        _bench_pillars(extra)
         _bench_train(extra)
         _report(iters / dt, lat, extra)
         return

@@ -123,7 +123,14 @@ def odiou_3d(gboxes: jnp.ndarray, qboxes: jnp.ndarray) -> jnp.ndarray:
     vol_inter = inter_area * inter_h
     vol_g = g[..., 3] * g[..., 4] * g[..., 5]
     vol_q = q[..., 3] * q[..., 4] * q[..., 5]
-    iou3d = vol_inter / jnp.maximum(vol_g + vol_q - vol_inter, 1e-7)
+    # clip to the mathematical range: for DEGENERATE sliver boxes (early
+    # training decodes exp() of large logits) the polygon clipper's
+    # inter_area can exceed the union by float error, the union clamp at
+    # 1e-7 then explodes the ratio to ~1e6 and the loss to -1e6 (observed
+    # r4: ious_loss=-2.4e6 -> training diverged). Exact for valid geometry
+    # (IoU is in [0, 1]); grads pass through unchanged in the interior.
+    iou3d = jnp.clip(
+        vol_inter / jnp.maximum(vol_g + vol_q - vol_inter, 1e-7), 0.0, 1.0)
 
     center_dist_sq = jnp.sum((g[..., :3] - q[..., :3]) ** 2, axis=-1)
     corners = jnp.concatenate([bev_corners(g), bev_corners(q)], axis=-2)  # [..., 8, 2]

@@ -108,8 +108,18 @@ class SparseConvBlock(nn.Module):
         if dense_inputs is None:
             cin = x.shape[-1]
             w = self._kernel(cin).astype(self.dtype)
+            # "auto": fused Pallas on TPU for inference always, and for
+            # TRAINING when compute is bf16 — the windowed_conv custom_vjp
+            # was validated grad-for-grad against the gather path at full
+            # scale (pallas_bf16 vs gather_bf16 deltas are BELOW the
+            # gather_bf16 vs gather_f32 noise floor) and is ~2.9x faster
+            # (573 -> 198 ms full B=4 step, scripts/breakdown_train2.py).
+            # f32 training stays on gather: the pallas bwd keeps the f32
+            # dfeat accumulator VMEM-resident and exceeds the 16M scoped
+            # limit at full-scale stage-2 caps (measured compile OOM).
             use_pallas = self.conv_impl == "pallas" or (
-                self.conv_impl == "auto" and not train
+                self.conv_impl == "auto"
+                and (not train or self.dtype == jnp.bfloat16)
                 and jax.default_backend() != "cpu")
             if use_pallas:
                 # fused windowed one-hot gather-GEMM (ops/pallas/wconv):

@@ -213,6 +213,20 @@ def consistency_loss(preds_stu, preds_tea, anchors, transformation,
     boxes_stu = box_jax.second_box_decode(preds_stu["box_preds"], anchors)
     boxes_tea = box_jax.second_box_decode(preds_tea["box_preds"], anchors)
 
+    # bound the decoded geometry for the loss: second_box_decode applies
+    # exp() to the dim logits, so a random-init net can emit km-sized
+    # boxes whose smooth-L1/IoU terms reach 1e9 and blow the first
+    # optimizer steps (observed r4, full scale). No realistic box is
+    # affected (KITTI dims < 30 m, centers within +-200 m); matches the
+    # spirit of the reference's score/range gating (mg_head_sessd.py:635).
+    def bound(b):
+        return jnp.concatenate([
+            jnp.clip(b[..., :3], -200.0, 200.0),
+            jnp.clip(b[..., 3:6], 1e-2, 30.0), b[..., 6:]], axis=-1)
+
+    boxes_stu = bound(boxes_stu)
+    boxes_tea = bound(boxes_tea)
+
     f = jax.vmap(consistency_loss_single, in_axes=(0,) * 11 + (None,))
     box_l, cls_l, iou_l, dir_l = f(
         boxes_stu, preds_stu["cls_preds"], preds_stu["dir_cls_preds"], preds_stu["iou_preds"],
@@ -289,9 +303,19 @@ def detection_loss(preds, batch, cfg: LossConfig = LossConfig(),
     pos_w = jnp.take_along_axis(reg_w, pos_idx, axis=1) * pos_mask
     qboxes = box_jax.second_box_decode(take(box_preds), pos_anchors)
     gboxes = box_jax.second_box_decode(take(reg_targets), pos_anchors)
+    # bound the PREDICTED geometry only (targets decode to real boxes):
+    # exp() dim decode of a random-init net can emit km-sized boxes that
+    # blow the IoU/ODIoU terms (see consistency_loss); inactive for any
+    # realistic box, and grads pass through in the interior
+    qboxes = jnp.concatenate([
+        jnp.clip(qboxes[..., :3], -200.0, 200.0),
+        jnp.clip(qboxes[..., 3:6], 1e-2, 30.0), qboxes[..., 6:]], axis=-1)
 
     # IoU prediction head: targets 2*iou3d-1, smooth-L1 (.759-768)
-    iou_t = jax.lax.stop_gradient(iou_3d(jax.lax.stop_gradient(qboxes), gboxes))
+    # clip to [0, 1]: degenerate early-training decodes can blow the
+    # clipper's inter/union ratio past 1 (see odiou_3d) — exact otherwise
+    iou_t = jnp.clip(jax.lax.stop_gradient(
+        iou_3d(jax.lax.stop_gradient(qboxes), gboxes)), 0.0, 1.0)
     iou_targets = (2.0 * iou_t - 1.0)[..., None]
     iou_p = take(preds["iou_preds"])
     iou_pred_loss = jnp.sum(weighted_smooth_l1(iou_p, iou_targets, pos_w)) / b

@@ -261,6 +261,7 @@ class Trainer:
             t_data = time.time()
             for it, batch in enumerate(self.train_loader):
                 self._log_train_fallbacks(batch)
+                self._check_train_saturation(batch)
                 db = _device_batch(batch, self.anchors_np)
                 if self.mesh is not None:
                     db = shard_batch(db, self.mesh)
@@ -285,6 +286,12 @@ class Trainer:
                     tb.log(avg, int(self.state.step))
                 t_data = time.time()
             self.epoch += 1
+            if getattr(self, "_sat_batches", 0):
+                self.logger.warning(
+                    "epoch %d: %d batch(es) hit train cap saturation "
+                    "(truncated voxels — see the first warning above)",
+                    self.epoch, self._sat_batches)
+                self._sat_batches = 0
             if (self.host_id == 0 and self.epoch
                     % self.cfg.checkpoint_config.get("interval", 1) == 0):
                 ckpt.save_checkpoint(self.work_dir, jax.device_get(self.state),
@@ -385,6 +392,23 @@ class Trainer:
                 batch["coords"], batch["voxel_mask"],
                 self.model.sparse_shape, self.model.stage_capacity)
         self._log_eval_fallbacks(rb, batch)
+        # accuracy guard (cheap numpy, every eval batch): a FULL id table
+        # means truncated voxels -> silently degraded detections
+        sent = np.iinfo(np.int32).max
+        shards = self._eval_rb_shards
+        local_b = batch["coords"].shape[0] // shards
+        for i, cap in enumerate(self.model.stage_capacity):
+            arr = np.asarray(rb["ids"][i])
+            occ = (arr < sent).sum(axis=-1) if arr.ndim > 1 else \
+                np.asarray([(arr < sent).sum()])
+            if (occ >= cap * local_b).any() and not getattr(
+                    self, "_eval_sat_warned", False):
+                self.logger.warning(
+                    "EVAL CAP SATURATION at stage %d (%d/%d rows): voxels "
+                    "truncated, detections degraded — raise "
+                    "model.stage_capacity for this data density",
+                    i, int(occ.max()), cap * local_b)
+                self._eval_sat_warned = True
         return rb
 
     def _log_eval_fallbacks(self, rb, batch):
@@ -415,6 +439,48 @@ class Trainer:
             self._eval_fb_logged = True
         except Exception:  # telemetry must never break eval
             self.logger.debug("eval span telemetry failed", exc_info=True)
+
+    def _check_train_saturation(self, batch):
+        """Per-batch capacity guard on the loader-built train chains.
+
+        A stage whose id table is FULL has TRUNCATED voxels — the rest of
+        that sample's scene silently contributes ZERO features (r4 found
+        whole batch samples zeroed this way: scenes whose stage-1
+        downsample occupancy exceeded the per-sample cap collapsed 3 of 4
+        samples to empty, training on 1/4 of the data with no signal).
+        Unlike span fallbacks (a perf problem), saturation is an ACCURACY
+        bug, so it is checked on every batch (a few numpy sums over the
+        int32 id tables, ~us) and warned loudly."""
+        sent = np.iinfo(np.int32).max
+        hit = []
+        for name in ("rulebooks", "rulebooks_raw"):
+            rb = batch.get(name)
+            if rb is None:
+                continue
+            ids = rb["ids"]
+            sharded = np.asarray(rb["perm"]).ndim > 1
+            shards = np.asarray(rb["perm"]).shape[0] if sharded else 1
+            local_b = batch["coords"].shape[0] // shards
+            for i, cap in enumerate(self.model.stage_capacity):
+                arr = np.asarray(ids[i])
+                # per-shard occupancy: [shards] counts
+                occ = (arr < sent).sum(axis=-1) if sharded else \
+                    np.asarray([(arr < sent).sum()])
+                if (occ >= cap * local_b).any():
+                    hit.append((name, i, int(occ.max()), cap * local_b))
+        self._sat_batches = getattr(self, "_sat_batches", 0)
+        if hit:
+            self._sat_batches += 1
+            if not getattr(self, "_sat_warned", False):
+                detail = ", ".join(
+                    f"{n} stage {i}: {o}/{c} rows" for n, i, o, c in hit)
+                self.logger.warning(
+                    "TRAIN CAP SATURATION: %s — voxels past a full stage "
+                    "are silently dropped (those samples train on "
+                    "truncated or EMPTY features). Raise "
+                    "model.stage_capacity for this data density. Counting "
+                    "saturated batches; per-epoch totals follow.", detail)
+                self._sat_warned = True
 
     def _log_train_fallbacks(self, batch):
         """One-time span telemetry on the loader-built TRAIN chains (both

@@ -51,14 +51,22 @@ def _ray_box_t(origins, dirs, box):
     return t
 
 
-def make_scene(seed: int = 0, n_cars: int = 18, azimuth_step_deg: float = 0.17):
-    """Ray-cast a synthetic KITTI frame. Returns (points [N,4] f32, boxes [M,7]).
+def raycast_points(rng, car_boxes, walls=(), poles=(),
+                   azimuth_step_deg: float = 0.17, crop: bool = True):
+    """Ray-cast a KITTI-like lidar frame against the given surfaces.
 
-    boxes are the gravity-center [x, y, z, w, l, h, ry] car boxes placed in
-    the scene (usable as plausibility GT; not all are hit by enough rays).
+    car_boxes / walls / poles: sequences of (cx, cy, z_bottom, w, l, h, yaw)
+    — NOTE z is the BOTTOM-face height (objects resting on the ground pass
+    z_bottom = GROUND_Z), matching _ray_box_t. Returns points [N, 4] f32
+    with per-surface intensity statistics, range noise and ~15% dropout.
+
+    This produces the real scan's CONTIGUITY structure: returns are dense
+    along rings/scan lines, so neighboring returns share voxels and the
+    strided downsample MERGES cells instead of dilating them 8x the way
+    isolated uniform-random points do (stage-1 occupancy ~= stage-0, like
+    real KITTI; a uniform scatter of the same point count dilates ~3.5x and
+    silently saturates the per-stage row capacities).
     """
-    rng = np.random.RandomState(seed)
-
     elev = np.deg2rad(np.linspace(2.0, -24.8, 64))
     azim = np.deg2rad(np.arange(-40.0, 40.0, azimuth_step_deg))
     E, A = np.meshgrid(elev, azim, indexing="ij")
@@ -68,10 +76,46 @@ def make_scene(seed: int = 0, n_cars: int = 18, azimuth_step_deg: float = 0.17):
     n_rays = dirs.shape[0]
     origins = np.zeros((n_rays, 3))
 
-    # ground plane (slightly undulating)
+    # ground plane
     with np.errstate(divide="ignore"):
         t_ground = (GROUND_Z - origins[:, 2]) / dirs[:, 2]
     t_ground = np.where(dirs[:, 2] < -1e-4, t_ground, np.inf)
+
+    t_best = t_ground.copy()
+    surf = np.zeros(n_rays, np.int8)  # 0 ground, 1 car, 2 wall, 3 pole
+    for kind, group in ((1, car_boxes), (2, walls), (3, poles)):
+        for box in group:
+            t = _ray_box_t(origins, dirs, box)
+            closer = t < t_best
+            t_best = np.where(closer, t, t_best)
+            surf = np.where(closer, kind, surf)
+
+    # ~15% non-returns (dark/specular surfaces), as on the real sensor
+    hit = np.isfinite(t_best) & (t_best < 75.0) & (rng.uniform(size=n_rays) < 0.85)
+    t = t_best[hit] * (1.0 + rng.normal(0, 0.002, hit.sum()))  # range noise
+    pts = origins[hit] + dirs[hit] * t[:, None]
+    s = surf[hit]
+    intensity = np.select(
+        [s == 0, s == 1, s == 2, s == 3],
+        [rng.uniform(0.0, 0.25, s.shape), rng.uniform(0.2, 0.9, s.shape),
+         rng.uniform(0.05, 0.4, s.shape), rng.uniform(0.1, 0.6, s.shape)])
+    pts = np.concatenate([pts, intensity[:, None]], 1)
+
+    if crop:  # keep the KITTI range crop
+        keep = ((pts[:, 0] > 0.0) & (pts[:, 0] < 70.4)
+                & (np.abs(pts[:, 1]) < 40.0)
+                & (pts[:, 2] > -3.0) & (pts[:, 2] < 1.0))
+        pts = pts[keep]
+    return pts.astype(np.float32)
+
+
+def make_scene(seed: int = 0, n_cars: int = 18, azimuth_step_deg: float = 0.17):
+    """Ray-cast a synthetic KITTI frame. Returns (points [N,4] f32, boxes [M,7]).
+
+    boxes are the gravity-center [x, y, z, w, l, h, ry] car boxes placed in
+    the scene (usable as plausibility GT; not all are hit by enough rays).
+    """
+    rng = np.random.RandomState(seed)
 
     # cars on the ground, biased to the road ahead
     boxes = []
@@ -99,28 +143,6 @@ def make_scene(seed: int = 0, n_cars: int = 18, azimuth_step_deg: float = 0.17):
                       rng.uniform(0.2, 0.8), rng.uniform(0.2, 0.8),
                       rng.uniform(2.0, 5.0), 0.0))
 
-    t_best = t_ground.copy()
-    surf = np.zeros(n_rays, np.int8)  # 0 ground, 1 car, 2 wall, 3 pole
-    for kind, group in ((1, boxes), (2, walls), (3, poles)):
-        for box in group:
-            t = _ray_box_t(origins, dirs, box)
-            closer = t < t_best
-            t_best = np.where(closer, t, t_best)
-            surf = np.where(closer, kind, surf)
-
-    # ~15% non-returns (dark/specular surfaces), as on the real sensor
-    hit = np.isfinite(t_best) & (t_best < 75.0) & (rng.uniform(size=n_rays) < 0.85)
-    t = t_best[hit] * (1.0 + rng.normal(0, 0.002, hit.sum()))  # range noise
-    pts = origins[hit] + dirs[hit] * t[:, None]
-    s = surf[hit]
-    intensity = np.select(
-        [s == 0, s == 1, s == 2, s == 3],
-        [rng.uniform(0.0, 0.25, s.shape), rng.uniform(0.2, 0.9, s.shape),
-         rng.uniform(0.05, 0.4, s.shape), rng.uniform(0.1, 0.6, s.shape)])
-    pts = np.concatenate([pts, intensity[:, None]], 1)
-
-    # keep the KITTI range crop
-    keep = ((pts[:, 0] > 0.0) & (pts[:, 0] < 70.4)
-            & (np.abs(pts[:, 1]) < 40.0)
-            & (pts[:, 2] > -3.0) & (pts[:, 2] < 1.0))
-    return pts[keep].astype(np.float32), boxes.astype(np.float32)
+    pts = raycast_points(rng, boxes, walls, poles,
+                         azimuth_step_deg=azimuth_step_deg)
+    return pts, boxes.astype(np.float32)

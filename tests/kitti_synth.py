@@ -56,6 +56,24 @@ def car_points(box, n, rng):
 
 
 def make_frame(root, idx, rng, num_cars=3, pts_per_car=150, ground_points=4000):
+    """One synthetic KITTI frame with RAY-CAST lidar points.
+
+    Points come from the beam simulator (sessd_tpu.utils.synth_scene
+    .raycast_points): dense-contiguous along scan rings like a real
+    velodyne scan. This matters beyond realism — isolated uniform-random
+    points each occupy one isolated voxel and DILATE ~3.5x under the
+    strided sparse downsample, silently saturating the per-stage row
+    capacities at the full 0.05 m grid (the bug class found in r4: 3 of 4
+    batch samples truncated to zero features). Ray-cast returns share
+    voxels along scan lines, so stage-1 occupancy ~= stage-0, matching the
+    real-KITTI profile the capacities were sized for.
+
+    ``pts_per_car``/``ground_points`` are kept for signature compatibility;
+    density now follows the physical scan pattern (azimuth step shrinks
+    mildly with ground_points). Cars rest ON the ground plane; cars with
+    <20 returns (fully occluded / out of beam coverage) are left
+    unlabeled, like real KITTI annotation practice.
+    """
     root = pathlib.Path(root)
     for sub in ("velodyne", "calib", "label_2", "image_2"):
         (root / "training" / sub).mkdir(parents=True, exist_ok=True)
@@ -78,6 +96,8 @@ def make_frame(root, idx, rng, num_cars=3, pts_per_car=150, ground_points=4000):
     # sample centers >5 m apart (> two worst-case BEV half-diagonals ~4.6 m)
     # so ground-truth cars never interpenetrate — overlapping GTs are
     # unlearnable and cap the achievable AP at IoU 0.7
+    from sessd_tpu.utils.synth_scene import GROUND_Z, raycast_points
+
     boxes = []
     centers = []
     for i in range(num_cars):
@@ -88,21 +108,51 @@ def make_frame(root, idx, rng, num_cars=3, pts_per_car=150, ground_points=4000):
             if all((x - cx) ** 2 + (y - cy) ** 2 > 25.0 for cx, cy in centers):
                 break
         centers.append((x, y))
+        h = rng.uniform(1.4, 1.7)
         boxes.append([
-            x, y, rng.uniform(-1.2, -0.6),
-            rng.uniform(1.55, 1.7), rng.uniform(3.6, 4.2), rng.uniform(1.4, 1.7),
+            x, y, GROUND_Z + h / 2 + rng.uniform(-0.03, 0.03),
+            rng.uniform(1.55, 1.7), rng.uniform(3.6, 4.2), h,
             rng.uniform(-np.pi, np.pi),
         ])
     boxes = np.array(boxes)
 
-    pts = [car_points(b, pts_per_car, rng) for b in boxes]
-    g = ground_points
-    ground = np.stack(
-        [rng.uniform(4, 60, g), rng.uniform(-30, 30, g),
-         rng.uniform(-1.9, -1.6, g), rng.uniform(0, 1, g)], axis=1
-    ).astype(np.float32)
-    points = np.concatenate(pts + [ground])
+    # clutter: two building walls outside the car corridor + a few poles
+    walls = [
+        (35.0, -rng.uniform(16.0, 20.0), GROUND_Z, 0.4, 60.0, 4.0,
+         rng.uniform(-0.05, 0.05)),
+        (38.0, rng.uniform(16.0, 20.0), GROUND_Z, 0.4, 70.0, 4.0,
+         rng.uniform(-0.05, 0.05)),
+    ]
+    poles = []
+    for _ in range(6):
+        for _ in range(50):
+            r = rng.uniform(5.0, 60.0)
+            ang = rng.uniform(-0.7, 0.7)
+            px, py = r * np.cos(ang), r * np.sin(ang)
+            if all((px - cx) ** 2 + (py - cy) ** 2 > 16.0
+                   for cx, cy in centers):
+                break
+        poles.append((px, py, GROUND_Z, rng.uniform(0.2, 0.8),
+                      rng.uniform(0.2, 0.8), rng.uniform(2.0, 5.0), 0.0))
+
+    # ray-cast (z -> bottom-face convention for the caster); az step shrinks
+    # mildly for very dense requests, keeping legacy callers' scale intent
+    az_step = 0.17 if ground_points <= 16000 else 0.12
+    rc_boxes = boxes.copy()
+    rc_boxes[:, 2] -= rc_boxes[:, 5] / 2.0
+    points = raycast_points(rng, rc_boxes, walls, poles,
+                            azimuth_step_deg=az_step)
     points.tofile(str(root / "training" / "velodyne" / f"{sid}.bin"))
+
+    # label only cars the sensor actually sees (>=20 returns) — real KITTI
+    # leaves fully-occluded cars unannotated; keeping them as GT would make
+    # the eval floor unreachable by construction. Count against a +0.2 m
+    # enlarged box: range noise puts surface returns a few cm outside the
+    # exact hull, which would undercount visibility ~2x.
+    probe = boxes.copy()
+    probe[:, 3:6] += 0.2
+    n_hits = box_np.points_in_rbbox(points[:, :3], probe).sum(axis=0)
+    boxes = boxes[n_hits >= 20]
 
     # labels: lidar gravity-center -> camera bottom-center
     cam = box_np.box_lidar_to_camera(boxes, R0, TR)  # center xyz + (l, h, w) + ry
