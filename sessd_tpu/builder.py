@@ -102,6 +102,9 @@ def build_pipeline_config(cfg) -> PipelineConfig:
         sa_sparsity=tuple(tp.get("sa_sparsity", (0.05, 50))),
         sa_swap=tuple(tp.get("sa_swap", (0.1, 50))),
         shuffle_points=tp.get("shuffle_points", True),
+        # CIA-SSD (enable_ssl=False) has no teacher: skip the raw twin's
+        # voxelization + target assignment (halves per-sample host cost)
+        produce_raw=bool(cfg.get("my_paras", {}).get("enable_ssl", True)),
     )
 
 

@@ -335,6 +335,31 @@ def get_official_eval_result(gt_annos, dt_annos, classes=("Car",),
     return out
 
 
+def count_valid_gt(gt_annos, classes=("Car",)) -> dict:
+    """Per-(class, difficulty) valid-GT counts under the official
+    ``clean_data`` gates — {class: {"easy"/"moderate"/"hard": N}}.
+
+    A difficulty bin can be STARVED (the easy bin gates on 2D bbox height
+    > 40 px, MIN_HEIGHT above) and then its AP is statistically degenerate
+    (e.g. AP11 = exactly 1/11 from a single recall bin). Recording these
+    counts alongside any AP floor makes a starved bin visible in the
+    artifact instead of silently producing nonsense (VERDICT r4 weak #2).
+    """
+    empty_dt = {"name": np.zeros((0,), dtype="<U16"),
+                "bbox": np.zeros((0, 4), np.float32)}
+    out = {}
+    for cls in classes:
+        counts = {}
+        for diff, dname in ((0, "easy"), (1, "moderate"), (2, "hard")):
+            n = 0
+            for gt in gt_annos:
+                num_valid, _, _, _ = clean_data(gt, empty_dt, cls, diff)
+                n += num_valid
+            counts[dname] = int(n)
+        out[cls] = counts
+    return out
+
+
 def get_coco_eval_result(gt_annos, dt_annos, classes=("Car",)) -> dict:
     """COCO-style AP sweep: mean AP over IoU 0.50:0.05:0.95
     (eval.py:675 get_coco_eval_result)."""

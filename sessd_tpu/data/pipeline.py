@@ -48,6 +48,11 @@ class PipelineConfig:
     sa_swap: tuple = (0.1, 50)
     shuffle_points: bool = True
     max_gt_boxes: int = 64                # padded gt capacity (metrics only)
+    # SE-SSD needs the teacher's un-augmented twin (``*_raw``); the CIA-SSD
+    # supervised-only recipe (enable_ssl=False — the reference's trainer.py
+    # path, SURVEY P4) has no teacher, so the second voxelize + target
+    # assignment is skipped entirely (halves per-sample host cost)
+    produce_raw: bool = True
 
     @property
     def train_class_names(self):
@@ -164,8 +169,9 @@ class Pipeline:
             [class_names.index(n) + 1 for n in gt_names], dtype=np.int32)
 
         # snapshot for the teacher BEFORE global transforms (preprocess.py:130)
-        points_raw = points.copy()
-        gt_boxes_raw = gt_boxes.copy()
+        if cfg.produce_raw:
+            points_raw = points.copy()
+            gt_boxes_raw = gt_boxes.copy()
 
         # global transforms, parameters recorded (preprocess.py:137-140)
         gt_boxes, points, flipped = augment.random_flip(gt_boxes, points, rng)
@@ -183,18 +189,20 @@ class Pipeline:
 
         if cfg.shuffle_points:
             points = points[rng.permutation(len(points))]
-            points_raw = points_raw[rng.permutation(len(points_raw))]
+            if cfg.produce_raw:
+                points_raw = points_raw[rng.permutation(len(points_raw))]
 
         out = {}
         out.update(self._voxelize("", points))
-        out.update(self._voxelize("_raw", points_raw))
         out.update(self._targets("", gt_boxes))
-        out.update(self._targets("_raw", gt_boxes_raw))
-        out["transformation"] = {
-            "flipped": np.bool_(flipped),
-            "noise_rotation": np.float32(noise_rot),
-            "noise_scale": np.float32(noise_scale),
-        }
+        if cfg.produce_raw:
+            out.update(self._voxelize("_raw", points_raw))
+            out.update(self._targets("_raw", gt_boxes_raw))
+            out["transformation"] = {
+                "flipped": np.bool_(flipped),
+                "noise_rotation": np.float32(noise_rot),
+                "noise_scale": np.float32(noise_scale),
+            }
         # padded gt (for debugging / alternative losses)
         mg = self.cfg.max_gt_boxes
         gtb = np.zeros((mg, 7), np.float32)

@@ -91,7 +91,8 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
                     ema_decay_cap: float = 0.999,
                     compute_teacher_metrics: bool = True,
                     axis_name: str | None = None,
-                    teacher_model=None):
+                    teacher_model=None,
+                    enable_ssl: bool = True):
     """Builds the jittable train_step(state, batch, consistency_weight).
 
     batch (all leading dim B):
@@ -106,6 +107,14 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
     run a different execution plan (dense_from_stage / conv_impl) than the
     student; the param tree is invariant under plan choice
     (tests/test_backbone_hybrid.py), so the EMA pytree applies unchanged.
+
+    enable_ssl=False builds the CIA-SSD supervised-only step (the
+    reference's teacherless trainer.py path, SURVEY P4): no teacher
+    forward, no consistency loss, and the batch needs no ``*_raw`` keys or
+    ``transformation`` (pair with PipelineConfig.produce_raw=False). The
+    EMA params are still maintained (one tree saxpy — negligible) so the
+    pretrain checkpoint carries a usable EMA snapshot; ema_batch_stats
+    mirrors the student's.
     """
     tea_model = teacher_model if teacher_model is not None else model
 
@@ -121,30 +130,37 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
     def train_step(state: TrainState, batch, consistency_weight):
         b = batch["voxels"].shape[0]
         stu_inputs = _flatten_voxels(batch)
-        tea_inputs = _flatten_voxels(batch, "_raw")
         # optional loader-built (host C++) rulebook chains — they are pure
         # functions of the batch's voxel coords, so building them in the
         # data path removes all device-side sorts/LUT lookups from the step
         rb_stu = _squeeze_rulebooks(batch.get("rulebooks"))
-        rb_tea = _squeeze_rulebooks(batch.get("rulebooks_raw"))
 
-        # teacher forward (no grad; BN in batch-stats mode like
-        # model_ema.train() at trainer_sessd.py:321)
-        preds_tea, new_ema_stats = apply(
-            state.ema_params, state.ema_batch_stats, tea_inputs, b, rb_tea,
-            module=tea_model)
-        preds_tea = jax.lax.stop_gradient(preds_tea)
+        if enable_ssl:
+            tea_inputs = _flatten_voxels(batch, "_raw")
+            rb_tea = _squeeze_rulebooks(batch.get("rulebooks_raw"))
+            # teacher forward (no grad; BN in batch-stats mode like
+            # model_ema.train() at trainer_sessd.py:321)
+            preds_tea, new_ema_stats = apply(
+                state.ema_params, state.ema_batch_stats, tea_inputs, b,
+                rb_tea, module=tea_model)
+            preds_tea = jax.lax.stop_gradient(preds_tea)
+        else:
+            preds_tea = None
 
         def loss_fn(params):
             preds_stu, new_stats = apply(params, state.batch_stats,
                                          stu_inputs, b, rb_stu)
             sup_loss, metrics = detection_loss(preds_stu[0], batch, loss_cfg)
-            cons, cons_dir = consistency_loss(
-                preds_stu[0], preds_tea[0], batch["anchors"],
-                batch["transformation"], loss_cfg.consistency)
-            total = sup_loss + consistency_weight * cons
-            metrics = dict(metrics, consistency_loss=cons,
-                           consistency_dir_loss=cons_dir, loss=total)
+            if enable_ssl:
+                cons, cons_dir = consistency_loss(
+                    preds_stu[0], preds_tea[0], batch["anchors"],
+                    batch["transformation"], loss_cfg.consistency)
+                total = sup_loss + consistency_weight * cons
+                metrics = dict(metrics, consistency_loss=cons,
+                               consistency_dir_loss=cons_dir, loss=total)
+            else:
+                total = sup_loss
+                metrics = dict(metrics, loss=total)
             return total, (new_stats, metrics)
 
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -160,8 +176,10 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
                             ema_decay_cap)
         new_ema = jax.tree_util.tree_map(
             lambda e, p: alpha * e + (1.0 - alpha) * p, state.ema_params, new_params)
+        if not enable_ssl:
+            new_ema_stats = new_stats
 
-        if compute_teacher_metrics:
+        if enable_ssl and compute_teacher_metrics:
             tea_loss, tea_metrics = detection_loss(
                 preds_tea[0], batch, loss_cfg,
                 labels_key="labels_raw", reg_targets_key="reg_targets_raw",

@@ -129,9 +129,13 @@ class Trainer:
                  if cfg.get(f"teacher_{k}") is not None}
         if tplan and hasattr(self.model, "dense_from_stage"):
             teacher_model = self.model.clone(**tplan)
+        # enable_ssl=False -> the CIA-SSD supervised-only step (no teacher
+        # forward, no consistency, no *_raw batch keys — SURVEY P4)
+        self.enable_ssl = bool(cfg.get("my_paras", {}).get("enable_ssl", True))
         step = make_train_step(self.model, self.optimizer, self.loss_cfg,
                                ema_decay_cap=cfg.get("ema_decay_cap", 0.999),
-                               axis_name=axis, teacher_model=teacher_model)
+                               axis_name=axis, teacher_model=teacher_model,
+                               enable_ssl=self.enable_ssl)
         if self.mesh is not None:
             self.train_step = make_sharded_train_step(step, self.mesh)
             self.state = replicate(self.state, self.mesh)
@@ -149,9 +153,15 @@ class Trainer:
                         if self.mesh is not None else 1)
             self.train_loader.batch_transform = make_train_rulebook_transform(
                 self.model.sparse_shape, self.model.stage_capacity,
-                num_shards=n_shards)
+                num_shards=n_shards,
+                suffixes=("", "_raw") if self.enable_ssl else ("",))
 
         self.epoch = 0
+        # AP-vs-epoch trajectory: every validate() appends a summary row
+        # here, so a training run leaves a machine-readable record of how
+        # AP evolved (VERDICT r4: the 480-step acceptance was blind —
+        # "needs more steps" vs "plateaued" was indistinguishable)
+        self.val_history: list = []
         self._snapshot_run_context()
         self.anchors_np = self.train_dataset.anchors.astype(np.float32)
         self.anchors = jnp.asarray(self.anchors_np)
@@ -404,10 +414,12 @@ class Trainer:
             if (occ >= cap * local_b).any() and not getattr(
                     self, "_eval_sat_warned", False):
                 self.logger.warning(
-                    "EVAL CAP SATURATION at stage %d (%d/%d rows): voxels "
-                    "truncated, detections degraded — raise "
-                    "model.stage_capacity for this data density",
-                    i, int(occ.max()), cap * local_b)
+                    "EVAL CAP SATURATION at stage %d (%d/%d rows): stage id "
+                    "table full — voxels may have been truncated (the "
+                    "builder reports no overflow count, so an exactly-full "
+                    "table also trips this); if truncated, detections are "
+                    "degraded — raise model.stage_capacity for this data "
+                    "density", i, int(occ.max()), cap * local_b)
                 self._eval_sat_warned = True
         return rb
 
@@ -475,11 +487,13 @@ class Trainer:
                 detail = ", ".join(
                     f"{n} stage {i}: {o}/{c} rows" for n, i, o, c in hit)
                 self.logger.warning(
-                    "TRAIN CAP SATURATION: %s — voxels past a full stage "
-                    "are silently dropped (those samples train on "
-                    "truncated or EMPTY features). Raise "
-                    "model.stage_capacity for this data density. Counting "
-                    "saturated batches; per-epoch totals follow.", detail)
+                    "TRAIN CAP SATURATION: %s — stage id table full; voxels "
+                    "past a full stage are silently dropped (those samples "
+                    "train on truncated or EMPTY features; an exactly-full "
+                    "table with zero drops also trips this — the builder "
+                    "reports no overflow count). Raise model.stage_capacity "
+                    "for this data density. Counting saturated batches; "
+                    "per-epoch totals follow.", detail)
                 self._sat_warned = True
 
     def _log_train_fallbacks(self, batch):
@@ -690,6 +704,7 @@ class Trainer:
             from ..data.kitti_eval import format_results
 
             self.logger.info("\n" + format_results(results))
+        self._record_val(results, use_ema)
         return results
 
     def validate(self, use_ema: bool = False, max_batches: Optional[int] = None):
@@ -751,4 +766,21 @@ class Trainer:
             from ..data.kitti_eval import format_results
 
             self.logger.info("\n" + format_results(results))
+        self._record_val(results, use_ema)
         return results
+
+    def _record_val(self, results, use_ema: bool):
+        """Append a compact AP row to ``val_history`` (trajectory record)."""
+        if results is None:
+            return
+        try:
+            row = {"epoch": self.epoch, "step": int(self.state.step),
+                   "ema": bool(use_ema)}
+            for cls, tables in results.items():
+                row[cls] = {m: {d: {k: round(float(v), 2)
+                                    for k, v in tables[m][d].items()}
+                                for d in tables[m]}
+                            for m in tables}
+            self.val_history.append(row)
+        except Exception:  # record-keeping must never break training
+            self.logger.debug("val_history record failed", exc_info=True)

@@ -64,9 +64,39 @@ def load_checkpoint(work_dir, state_template, epoch: Optional[int] = None):
     return restored["state"], epoch
 
 
+def _restart_schedule(opt_state):
+    """Reset the schedule-driving count of an ``optax.inject_hyperparams``
+    chain to 0 while keeping the inner Adam moments (and their
+    bias-correction counts). This reproduces the reference's warm-start
+    semantics exactly: ``optimizer.load_state_dict`` restores per-param
+    Adam state, but the LR comes from a scheduler stepped by the trainer's
+    ``global_step``, which restarts at 0 (trainer_sessd.py:212-217,341-342)
+    — without this, a warm-started one-cycle would resume thousands of
+    steps into (or past) its anneal at lr ~ lr_max/div/1e4."""
+    import jax.numpy as jnp
+
+    def fix(s):
+        if hasattr(s, "count") and hasattr(s, "hyperparams"):
+            kw = {"count": jnp.zeros_like(s.count)}
+            # optax >= 0.2 wraps each schedule as stateful with its own
+            # count (WrappedScheduleState) — those drive the lr/momentum
+            # evaluation, so they are the ones that must restart
+            hs = getattr(s, "hyperparams_states", None)
+            if hs is not None:
+                kw["hyperparams_states"] = {
+                    k: (v._replace(count=jnp.zeros_like(v.count))
+                        if hasattr(v, "count") else v)
+                    for k, v in hs.items()}
+            return s._replace(**kw)
+        return s
+
+    return tuple(fix(s) for s in opt_state)
+
+
 def load_params_only(work_dir, state_template, epoch: Optional[int] = None):
     """Warm start: initialize student AND teacher params from a pretrained
-    checkpoint (load_checkpoint_from_scratch, trainer_sessd.py:212-217)."""
+    checkpoint (load_checkpoint_from_scratch, trainer_sessd.py:212-217):
+    params into both nets, Adam moments restored, schedule restarted."""
     state, ep = load_checkpoint(work_dir, state_template, epoch)
     if state is None:
         return None
@@ -75,5 +105,5 @@ def load_params_only(work_dir, state_template, epoch: Optional[int] = None):
         ema_params=state.params,
         batch_stats=state.batch_stats,
         ema_batch_stats=state.batch_stats,
-        opt_state=state.opt_state,
+        opt_state=_restart_schedule(state.opt_state),
     )

@@ -24,8 +24,9 @@ GROUND_Z = -1.73  # KITTI velodyne mount height above ground
 def _ray_box_t(origins, dirs, box):
     """Smallest positive hit parameter t of rays against one rotated box.
 
-    box: (cx, cy, cz, w, l, h, yaw) gravity-center lidar convention
-    (w along y in box frame, l along x). Returns [R] t (inf = miss).
+    box: (cx, cy, z_bottom, w, l, h, yaw) — z is the BOTTOM-face height
+    (the code shifts by +h/2 to the geometric center below); w along y in
+    box frame, l along x. Returns [R] t (inf = miss).
     """
     cx, cy, cz, w, l, h, yaw = box
     c, s = np.cos(-yaw), np.sin(-yaw)
@@ -112,8 +113,10 @@ def raycast_points(rng, car_boxes, walls=(), poles=(),
 def make_scene(seed: int = 0, n_cars: int = 18, azimuth_step_deg: float = 0.17):
     """Ray-cast a synthetic KITTI frame. Returns (points [N,4] f32, boxes [M,7]).
 
-    boxes are the gravity-center [x, y, z, w, l, h, ry] car boxes placed in
-    the scene (usable as plausibility GT; not all are hit by enough rays).
+    boxes are GRAVITY-CENTER [x, y, z, w, l, h, ry] car boxes placed in the
+    scene (z = GROUND_Z + h/2, the framework-wide box convention —
+    core/box_np.py; usable as plausibility GT, though not every box is hit
+    by enough rays). The ray-caster itself takes bottom-face z internally.
     """
     rng = np.random.RandomState(seed)
 
@@ -145,4 +148,6 @@ def make_scene(seed: int = 0, n_cars: int = 18, azimuth_step_deg: float = 0.17):
 
     pts = raycast_points(rng, boxes, walls, poles,
                          azimuth_step_deg=azimuth_step_deg)
-    return pts, boxes.astype(np.float32)
+    gt = boxes.astype(np.float32)
+    gt[:, 2] += gt[:, 5] / 2.0  # bottom face -> gravity center
+    return pts, gt

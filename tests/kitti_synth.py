@@ -95,63 +95,71 @@ def make_frame(root, idx, rng, num_cars=3, pts_per_car=150, ground_points=4000):
     # lidar boxes in front of the car, inside the camera frustum; rejection-
     # sample centers >5 m apart (> two worst-case BEV half-diagonals ~4.6 m)
     # so ground-truth cars never interpenetrate — overlapping GTs are
-    # unlearnable and cap the achievable AP at IoU 0.7
+    # unlearnable and cap the achievable AP at IoU 0.7.
+    # The whole scene is re-drawn (<=8 tries) if no car collects >=20
+    # returns: a zero-label frame would exercise an untested rare path
+    # downstream (create_kitti_info / gt-database / target assignment).
     from sessd_tpu.utils.synth_scene import GROUND_Z, raycast_points
 
-    boxes = []
-    centers = []
-    for i in range(num_cars):
-        for _ in range(100):
-            x = rng.uniform(10, 50)
-            # keep the car well inside the ~40deg half-angle camera FOV
-            y = rng.uniform(-0.5, 0.5) * x * 0.6
-            if all((x - cx) ** 2 + (y - cy) ** 2 > 25.0 for cx, cy in centers):
-                break
-        centers.append((x, y))
-        h = rng.uniform(1.4, 1.7)
-        boxes.append([
-            x, y, GROUND_Z + h / 2 + rng.uniform(-0.03, 0.03),
-            rng.uniform(1.55, 1.7), rng.uniform(3.6, 4.2), h,
-            rng.uniform(-np.pi, np.pi),
-        ])
-    boxes = np.array(boxes)
+    for _attempt in range(8):
+        boxes = []
+        centers = []
+        for i in range(num_cars):
+            for _ in range(100):
+                x = rng.uniform(10, 50)
+                # keep the car well inside the ~40deg half-angle camera FOV
+                y = rng.uniform(-0.5, 0.5) * x * 0.6
+                if all((x - cx) ** 2 + (y - cy) ** 2 > 25.0
+                       for cx, cy in centers):
+                    break
+            centers.append((x, y))
+            h = rng.uniform(1.4, 1.7)
+            boxes.append([
+                x, y, GROUND_Z + h / 2 + rng.uniform(-0.03, 0.03),
+                rng.uniform(1.55, 1.7), rng.uniform(3.6, 4.2), h,
+                rng.uniform(-np.pi, np.pi),
+            ])
+        boxes = np.array(boxes)
 
-    # clutter: two building walls outside the car corridor + a few poles
-    walls = [
-        (35.0, -rng.uniform(16.0, 20.0), GROUND_Z, 0.4, 60.0, 4.0,
-         rng.uniform(-0.05, 0.05)),
-        (38.0, rng.uniform(16.0, 20.0), GROUND_Z, 0.4, 70.0, 4.0,
-         rng.uniform(-0.05, 0.05)),
-    ]
-    poles = []
-    for _ in range(6):
-        for _ in range(50):
-            r = rng.uniform(5.0, 60.0)
-            ang = rng.uniform(-0.7, 0.7)
-            px, py = r * np.cos(ang), r * np.sin(ang)
-            if all((px - cx) ** 2 + (py - cy) ** 2 > 16.0
-                   for cx, cy in centers):
-                break
-        poles.append((px, py, GROUND_Z, rng.uniform(0.2, 0.8),
-                      rng.uniform(0.2, 0.8), rng.uniform(2.0, 5.0), 0.0))
+        # clutter: two building walls outside the car corridor + a few poles
+        walls = [
+            (35.0, -rng.uniform(16.0, 20.0), GROUND_Z, 0.4, 60.0, 4.0,
+             rng.uniform(-0.05, 0.05)),
+            (38.0, rng.uniform(16.0, 20.0), GROUND_Z, 0.4, 70.0, 4.0,
+             rng.uniform(-0.05, 0.05)),
+        ]
+        poles = []
+        for _ in range(6):
+            for _ in range(50):
+                r = rng.uniform(5.0, 60.0)
+                ang = rng.uniform(-0.7, 0.7)
+                px, py = r * np.cos(ang), r * np.sin(ang)
+                if all((px - cx) ** 2 + (py - cy) ** 2 > 16.0
+                       for cx, cy in centers):
+                    break
+            poles.append((px, py, GROUND_Z, rng.uniform(0.2, 0.8),
+                          rng.uniform(0.2, 0.8), rng.uniform(2.0, 5.0), 0.0))
 
-    # ray-cast (z -> bottom-face convention for the caster); az step shrinks
-    # mildly for very dense requests, keeping legacy callers' scale intent
-    az_step = 0.17 if ground_points <= 16000 else 0.12
-    rc_boxes = boxes.copy()
-    rc_boxes[:, 2] -= rc_boxes[:, 5] / 2.0
-    points = raycast_points(rng, rc_boxes, walls, poles,
-                            azimuth_step_deg=az_step)
+        # ray-cast (z -> bottom-face convention for the caster); az step
+        # shrinks mildly for very dense requests, keeping legacy callers'
+        # scale intent
+        az_step = 0.17 if ground_points <= 16000 else 0.12
+        rc_boxes = boxes.copy()
+        rc_boxes[:, 2] -= rc_boxes[:, 5] / 2.0
+        points = raycast_points(rng, rc_boxes, walls, poles,
+                                azimuth_step_deg=az_step)
+
+        # label only cars the sensor actually sees (>=20 returns) — real
+        # KITTI leaves fully-occluded cars unannotated; keeping them as GT
+        # would make the eval floor unreachable by construction. Count
+        # against a +0.2 m enlarged box: range noise puts surface returns a
+        # few cm outside the exact hull, which would undercount ~2x.
+        probe = boxes.copy()
+        probe[:, 3:6] += 0.2
+        n_hits = box_np.points_in_rbbox(points[:, :3], probe).sum(axis=0)
+        if (n_hits >= 20).any():
+            break
     points.tofile(str(root / "training" / "velodyne" / f"{sid}.bin"))
-
-    # label only cars the sensor actually sees (>=20 returns) — real KITTI
-    # leaves fully-occluded cars unannotated; keeping them as GT would make
-    # the eval floor unreachable by construction. Count against a +0.2 m
-    # enlarged box: range noise puts surface returns a few cm outside the
-    # exact hull, which would undercount visibility ~2x.
-    probe = boxes.copy()
-    probe[:, 3:6] += 0.2
-    n_hits = box_np.points_in_rbbox(points[:, :3], probe).sum(axis=0)
     boxes = boxes[n_hits >= 20]
 
     # labels: lidar gravity-center -> camera bottom-center

@@ -105,3 +105,26 @@ def test_shifted_detections_low_3d_ap(rng):
     assert res["Car"]["3d"][1]["AP11"] < 10.0
     # 40 gts can only fill 40 of 41 recall points -> 10/11 of full AP11
     assert res["Car"]["bbox"][1]["AP11"] > 90.0
+
+
+def test_count_valid_gt_difficulty_gates():
+    import numpy as np
+
+    from sessd_tpu.data.kitti_eval import count_valid_gt
+
+    def anno(heights, occluded=0, truncated=0.0, name="Car"):
+        n = len(heights)
+        bbox = np.zeros((n, 4), np.float32)
+        bbox[:, 3] = np.asarray(heights, np.float32)  # y2 - y1 = height
+        return {
+            "name": np.array([name] * n),
+            "bbox": bbox,
+            "occluded": np.full((n,), occluded, np.int64),
+            "truncated": np.full((n,), truncated, np.float32),
+        }
+
+    # two cars with 50 px boxes (pass every gate), one 30 px (fails the
+    # easy 40 px MIN_HEIGHT gate), one occluded=2 (moderate gate fails too)
+    gt_annos = [anno([50.0, 50.0, 30.0]), anno([50.0], occluded=2)]
+    counts = count_valid_gt(gt_annos, classes=("Car",))["Car"]
+    assert counts == {"easy": 2, "moderate": 3, "hard": 4}

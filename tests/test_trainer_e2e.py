@@ -154,3 +154,70 @@ def test_trainer_end_to_end(tmp_path):
                                        rtol=1e-4, atol=1e-4)
             np.testing.assert_allclose(a["scores"], b["scores"],
                                        rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_cia_pretrain_then_sessd_warmstart(tmp_path):
+    """The reference's two-stage recipe end-to-end at tiny scale: CIA-SSD
+    supervised-only pretrain (enable_ssl=False — no teacher forward, no
+    ``*_raw`` batch keys, trainer.py path SURVEY P4) -> SE-SSD warm start
+    from its checkpoint (load_checkpoint_from_scratch semantics,
+    trainer_sessd.py:212-217: student AND teacher from the pretrained
+    params, optimizer state restored, step reset)."""
+    import jax
+
+    root = tmp_path / "kitti"
+    from sessd_tpu.data import kitti_common as kc
+
+    make_kitti_root(root, num_frames=2, num_cars=2)
+    infos = kc.create_kitti_info(root, [0, 1], num_workers=2)
+    with open(root / "infos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+    kc.create_reduced_point_cloud(root, root / "infos.pkl")
+    kc.create_groundtruth_database(root, root / "infos.pkl",
+                                   dbinfo_path=root / "dbinfos_train.pkl",
+                                   used_classes=("Car",))
+
+    from sessd_tpu.config import Config
+    from sessd_tpu.train.trainer import Trainer
+
+    work_cia = tmp_path / "work_cia"
+    cfg_cia = tmp_path / "cfg_cia.py"
+    cfg_cia.write_text(
+        TINY_CONFIG.replace("{ROOT}", str(root))
+        .replace("{WORK}", str(work_cia))
+        .replace("enable_ssl=True", "enable_ssl=False"))
+    trainer = Trainer(Config.fromfile(cfg_cia), work_dir=str(work_cia),
+                      distributed=False)
+    # the CIA pipeline must not produce the teacher twin at all
+    batch = next(iter(trainer.train_loader))
+    assert "voxels_raw" not in batch
+    assert "rulebooks_raw" not in batch
+    assert "transformation" not in batch
+    results = trainer.run()
+    assert results is not None and "Car" in results
+    assert len(trainer.val_history) == 1
+    steps = int(np.asarray(trainer.state.step))
+    assert steps == len(trainer.train_loader)
+
+    # warm start SE-SSD from the CIA checkpoint
+    work_se = tmp_path / "work_se"
+    cfg_se = tmp_path / "cfg_se.py"
+    cfg_se.write_text(
+        TINY_CONFIG.replace("{ROOT}", str(root))
+        .replace("{WORK}", str(work_se)))
+    t2 = Trainer(Config.fromfile(cfg_se), work_dir=str(work_se),
+                 distributed=False)
+    t2.load_from(str(work_cia))
+    pre = jax.device_get(trainer.state.params)
+    post = jax.device_get(t2.state.params)
+    post_ema = jax.device_get(t2.state.ema_params)
+    jax.tree_util.tree_map(np.testing.assert_allclose, pre, post)
+    # teacher initialized from the SAME pretrained params
+    jax.tree_util.tree_map(np.testing.assert_allclose, post, post_ema)
+    # schedule restarts: step back to 0
+    assert int(np.asarray(t2.state.step)) == 0
+    # one SSL step must run from the warm-started state
+    t2.cfg.total_epochs = 1
+    res2 = t2.run()
+    assert res2 is not None and int(np.asarray(t2.state.step)) > 0
