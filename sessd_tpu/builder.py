@@ -54,6 +54,12 @@ def build_detector(cfg, axis_name=None):
         # 584.7 ms full-scale B=4 bf16+hostrb, scripts/breakdown_train.py);
         # the plan is equivalence-guarded (test_backbone_hybrid.py), params
         # identical, so this is a pure execution-plan default
+        kw = {}
+        if cfg.get("stage_capacity") is not None:
+            # per-sample sparse row capacities — raise for denser-than-KITTI
+            # data (a FULL stage id table silently truncates voxels; the
+            # trainer warns via _check_train_saturation)
+            kw["stage_capacity"] = tuple(int(c) for c in cfg["stage_capacity"])
         return VoxelNet(
             num_input_features=m["reader"].get("num_input_features", 4),
             sparse_shape=voxelizer.sparse_shape,
@@ -62,6 +68,7 @@ def build_detector(cfg, axis_name=None):
             dtype=dtype,
             backbone_remat=cfg.get("backbone_remat", dtype == jnp.float32),
             dense_from_stage=cfg.get("dense_from_stage", 3),
+            **kw,
         )
     if m["type"] == "PointPillars":
         nx, ny, _ = voxelizer.grid_size
@@ -79,10 +86,21 @@ def build_detector(cfg, axis_name=None):
 
 def build_pipeline_config(cfg) -> PipelineConfig:
     voxelizer = build_voxelizer(cfg.voxel_generator)
-    ag = cfg.target_assigner["anchor_generators"][0]
+    gens = cfg.target_assigner["anchor_generators"]
+    ag = gens[0]
     tp = cfg.get("train_preprocessor", {})
     out_size_factor = cfg.assigner.get("out_size_factor", 8) if "assigner" in cfg else 8
+    anchor_specs = None
+    if len(gens) > 1:
+        # one generator per class -> the multi-class anchor/assigner path
+        anchor_specs = tuple(
+            dict(class_name=g["class_name"], sizes=tuple(g["sizes"]),
+                 anchor_range=tuple(g["anchor_ranges"]),
+                 matched_threshold=g.get("matched_threshold", 0.6),
+                 unmatched_threshold=g.get("unmatched_threshold", 0.45))
+            for g in gens)
     return PipelineConfig(
+        anchor_specs=anchor_specs,
         class_names=tuple(cfg.class_names),
         enable_similar_type=bool(cfg.assigner.get("enable_similar_type", True))
         if "assigner" in cfg else True,

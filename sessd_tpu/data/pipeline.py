@@ -53,6 +53,15 @@ class PipelineConfig:
     # path, SURVEY P4) has no teacher, so the second voxelize + target
     # assignment is skipped entirely (halves per-sample host cost)
     produce_raw: bool = True
+    # multi-class: one anchor generator per class (the reference's
+    # multi-task configs, anchor_generator.py:64-118 + assign_v2's
+    # per-class loop). Each spec: dict(class_name, sizes [3], anchor_range
+    # [6], matched_threshold, unmatched_threshold). When set, the single-
+    # class fields above (anchor_sizes/anchor_range/thresholds) are
+    # ignored; anchors stack per class on the size axis so the flattened
+    # (y, x, class, rot) order matches the head's
+    # num_anchor_per_loc = 2 * num_class layout (models/head.py).
+    anchor_specs: Optional[tuple] = None
 
     @property
     def train_class_names(self):
@@ -71,15 +80,35 @@ class Pipeline:
         self.cfg = cfg
         self.mode = mode
         self.sampler = sampler
-        self.anchors = create_anchors_3d_range(
-            cfg.feature_map_size, cfg.anchor_range, cfg.anchor_sizes,
-            cfg.anchor_rotations).reshape(-1, 7)
-        from ..core.target_assign import anchor_lattice
+        if cfg.anchor_specs:
+            # per-class anchors concatenated on the size axis:
+            # [D, H, W, num_class, num_rot, 7]
+            blocks = [create_anchors_3d_range(
+                cfg.feature_map_size, s["anchor_range"], s["sizes"],
+                cfg.anchor_rotations) for s in cfg.anchor_specs]
+            full = np.concatenate(blocks, axis=3)
+            self._anchor_grid_shape = full.shape[:-1]
+            self.anchors = full.reshape(-1, 7)
+            # per-class assigners (dense candidate prefilter — the lattice
+            # fast path assumes the full per-cell anchor stride and the
+            # multi-class slices break it; multi-class is a capability
+            # path, not the benched Car hot path)
+            self.per_class = [
+                (s["class_name"],
+                 TargetAssigner(s.get("matched_threshold", 0.6),
+                                s.get("unmatched_threshold", 0.45)))
+                for s in cfg.anchor_specs]
+        else:
+            self.anchors = create_anchors_3d_range(
+                cfg.feature_map_size, cfg.anchor_range, cfg.anchor_sizes,
+                cfg.anchor_rotations).reshape(-1, 7)
+            from ..core.target_assign import anchor_lattice
 
-        self.assigner = TargetAssigner(
-            cfg.matched_threshold, cfg.unmatched_threshold,
-            lattice=anchor_lattice(cfg.feature_map_size, cfg.anchor_range,
-                                   cfg.anchor_sizes, cfg.anchor_rotations))
+            self.per_class = None
+            self.assigner = TargetAssigner(
+                cfg.matched_threshold, cfg.unmatched_threshold,
+                lattice=anchor_lattice(cfg.feature_map_size, cfg.anchor_range,
+                                       cfg.anchor_sizes, cfg.anchor_rotations))
 
     # -- loading ------------------------------------------------------------
     def load_points(self, info, root_path) -> np.ndarray:
@@ -194,10 +223,10 @@ class Pipeline:
 
         out = {}
         out.update(self._voxelize("", points))
-        out.update(self._targets("", gt_boxes))
+        out.update(self._targets("", gt_boxes, gt_names))
         if cfg.produce_raw:
             out.update(self._voxelize("_raw", points_raw))
-            out.update(self._targets("_raw", gt_boxes_raw))
+            out.update(self._targets("_raw", gt_boxes_raw, gt_names))
             out["transformation"] = {
                 "flipped": np.bool_(flipped),
                 "noise_rotation": np.float32(noise_rot),
@@ -231,9 +260,37 @@ class Pipeline:
             f"voxel_mask{suffix}": mask,
         }
 
-    def _targets(self, suffix, gt_boxes):
+    def _targets(self, suffix, gt_boxes, gt_names=None):
+        if self.per_class is not None:
+            return self._targets_multiclass(suffix, gt_boxes, gt_names)
         t = self.assigner.assign(self.anchors, gt_boxes.astype(np.float64))
         return {
             f"labels{suffix}": t["labels"].astype(np.int32),
             f"reg_targets{suffix}": t["bbox_targets"].astype(np.float32),
+        }
+
+    def _targets_multiclass(self, suffix, gt_boxes, gt_names):
+        """Per-class assignment on each class's anchor slice (the
+        reference's assign_v2 per-generator loop, target_assigner.py:68-136):
+        class c's gts match only class c's anchors, with that class's
+        thresholds; labels carry class index + 1."""
+        grid = self._anchor_grid_shape  # (D, H, W, C, R)
+        c_axis = 3
+        num_c = grid[c_axis]
+        labels = np.zeros(grid, np.int32)
+        regs = np.zeros(grid + (7,), np.float32)
+        full = self.anchors.reshape(grid + (7,))
+        if gt_names is None:
+            gt_names = np.zeros((len(gt_boxes),), dtype="<U16")
+        for i, (name, assigner) in enumerate(self.per_class):
+            sel = gt_names == name
+            sub = np.ascontiguousarray(full[:, :, :, i]).reshape(-1, 7)
+            t = assigner.assign(sub, gt_boxes[sel].astype(np.float64))
+            lab = t["labels"].reshape(grid[:3] + grid[4:5])
+            labels[:, :, :, i] = np.where(lab > 0, i + 1, lab)
+            regs[:, :, :, i] = t["bbox_targets"].astype(np.float32).reshape(
+                grid[:3] + grid[4:5] + (7,))
+        return {
+            f"labels{suffix}": labels.reshape(-1),
+            f"reg_targets{suffix}": regs.reshape(-1, 7),
         }

@@ -68,7 +68,12 @@ def predict_single(preds, anchors, frustum_surfaces, cfg: PredictConfig):
     with D = nms_post_max_size.
     """
     boxes = box_jax.second_box_decode(preds["box_preds"], anchors)  # [A, 7]
-    scores = jax.nn.sigmoid(preds["cls_preds"][..., 0])  # [A] (single class)
+    # per-anchor best class (mg_head_sessd.py:957-963: top_scores/top_labels
+    # = max/argmax over sigmoid class scores; class-agnostic NMS follows).
+    # Single-class reduces to sigmoid(cls[..., 0]) / labels all-zero.
+    scores_all = jax.nn.sigmoid(preds["cls_preds"])  # [A, C]
+    scores = jnp.max(scores_all, axis=-1)
+    top_labels = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
 
     keep = scores >= cfg.score_threshold
     iou_r = jnp.clip((preds["iou_preds"][..., 0] + 1.0) * 0.5, 0.0, 1.0)
@@ -84,7 +89,7 @@ def predict_single(preds, anchors, frustum_surfaces, cfg: PredictConfig):
         # (pre-rectification), per-box anchors, enable_centerness pow 2
         merged, dirs, labels, w_scores, valid = rotate_weighted_nms(
             boxes, boxes5, dir_labels_all,
-            jnp.zeros((boxes.shape[0],), jnp.int32), nms_scores,
+            top_labels, nms_scores,
             preds["iou_preds"][..., 0], anchors,
             pre_max_size=cfg.nms_pre_max_size,
             post_max_size=cfg.nms_post_max_size,
@@ -92,6 +97,7 @@ def predict_single(preds, anchors, frustum_surfaces, cfg: PredictConfig):
         )
         out_boxes, out_scores, out_valid = merged, w_scores, valid
         sel = jnp.zeros((cfg.nms_post_max_size,), jnp.int32)
+        out_labels = labels
         dir_sel = dirs
     else:
         sel, valid = rotate_nms(
@@ -103,6 +109,7 @@ def predict_single(preds, anchors, frustum_surfaces, cfg: PredictConfig):
         out_boxes = boxes[sel]
         out_scores = scores[sel]
         out_valid = valid
+        out_labels = top_labels[sel]
         dir_sel = None
 
     if frustum_surfaces is not None:
@@ -122,7 +129,7 @@ def predict_single(preds, anchors, frustum_surfaces, cfg: PredictConfig):
     return {
         "box3d_lidar": jnp.where(out_valid[:, None], out_boxes, 0.0),
         "scores": jnp.where(out_valid, out_scores, 0.0),
-        "label_preds": jnp.zeros_like(sel),
+        "label_preds": jnp.where(out_valid, out_labels, 0),
         "valid": out_valid,
     }
 
@@ -153,7 +160,7 @@ def predict_batch(preds, anchors, frustum_surfaces, cfg: PredictConfig = Predict
         # exact: when <= small boxes pass the score threshold, top_k(small)
         # contains every candidate the full path would consider
         counts = jnp.sum(
-            jax.nn.sigmoid(preds["cls_preds"][..., 0])
+            jnp.max(jax.nn.sigmoid(preds["cls_preds"]), axis=-1)
             >= cfg.score_threshold, axis=-1)
         return jax.lax.cond(
             jnp.max(counts) <= small,

@@ -274,10 +274,19 @@ def detection_loss(preds, batch, cfg: LossConfig = LossConfig(),
     b = labels.shape[0]
 
     cls_w, reg_w, cared = prepare_loss_weights(labels)
-    cls_targets = (labels * cared).astype(jnp.float32)[..., None]
 
     box_preds = preds["box_preds"]
     cls_preds = preds["cls_preds"]
+
+    # background-as-zeros class targets: labels in {0, 1..C} one-hot over
+    # C+1 with the background column dropped (mg_head_sessd.py:735-737).
+    # For the single-class Car head this is exactly the old 0/1 channel.
+    num_class = cls_preds.shape[-1]
+    if num_class == 1:
+        cls_targets = (labels * cared).astype(jnp.float32)[..., None]
+    else:
+        cls_targets = jax.nn.one_hot(
+            labels * cared, num_class + 1, dtype=jnp.float32)[..., 1:]
 
     # classification (sigmoid focal, background-as-zeros single class)
     cls_loss = sigmoid_focal_loss(cls_preds, cls_targets, cls_w,
@@ -329,8 +338,9 @@ def detection_loss(preds, batch, cfg: LossConfig = LossConfig(),
 
     total = cls_loss_reduced + ious_loss + dir_loss_reduced + iou_pred_loss
 
-    pos_sum = jnp.sum((labels > 0).astype(jnp.float32) * cls_loss[..., 0]) / b
-    neg_sum = jnp.sum((labels == 0).astype(jnp.float32) * cls_loss[..., 0]) / b
+    cls_loss_anchor = jnp.sum(cls_loss, axis=-1)  # [B, A] over classes
+    pos_sum = jnp.sum((labels > 0).astype(jnp.float32) * cls_loss_anchor) / b
+    neg_sum = jnp.sum((labels == 0).astype(jnp.float32) * cls_loss_anchor) / b
     metrics = {
         "cls_loss_reduced": cls_loss_reduced,
         "loc_loss_reduced": loc_loss_reduced,

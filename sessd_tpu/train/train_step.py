@@ -78,6 +78,87 @@ def _flatten_voxels(batch, suffix=""):
     )
 
 
+PACK_POS_CAP = 1024  # >> max positive anchors/sample (~200 at 15 GT-AUG cars)
+
+
+def pack_batch(batch: dict, pos_cap: int = PACK_POS_CAP) -> dict:
+    """Host-side wire compression of a train batch (numpy, in place on a
+    copy). The full-scale batch ships ~52 MB/step to the device; through
+    the axon tunnel (~60 MB/s) that is most of the step time, and on any
+    host it is wasted PCIe. Exactness notes per field:
+
+    - reg_targets [B, A, 7] f32 (15.8 MB/chain) are nonzero ONLY at
+      positive anchors (target_ops.py semantics; guarded below) -> ship
+      (indices, values) of the <= pos_cap positives and scatter on device.
+    - labels [B, A] int32 in {-1, 0, 1..C} -> int8.
+    - voxel point coords f32 -> f16: the backbone consumes the VFE mean in
+      bfloat16 (8-bit mantissa) anyway, f16's 10-bit mantissa is strictly
+      finer than what the model sees after the cast.
+    - coords [B, V, 3] grid indices < 1600 -> int16; num_points <= 5 -> u8.
+
+    Falls back to dense reg_targets for a chain whose positives exceed
+    pos_cap (exactness first). Unpacked by ``unpack_batch`` inside the
+    jitted step.
+    """
+    out = dict(batch)
+    for sfx in ("", "_raw"):
+        lk, rk = "labels" + sfx, "reg_targets" + sfx
+        if lk not in out:
+            continue
+        labels = np.asarray(out[lk])
+        out[lk] = labels.astype(np.int8)
+        if rk in out:
+            rt = np.asarray(out[rk])
+            b, a = labels.shape
+            n_pos = int((labels > 0).sum(axis=1).max()) if b else 0
+            if n_pos > pos_cap:
+                continue  # dense fallback, still exact
+            idx = np.full((b, pos_cap), a, np.int32)  # a = OOB pad
+            val = np.zeros((b, pos_cap, rt.shape[-1]), np.float32)
+            for i in range(b):
+                pos = np.flatnonzero(labels[i] > 0)
+                idx[i, :len(pos)] = pos
+                val[i, :len(pos)] = rt[i, pos]
+            del out[rk]
+            out[rk + "_idx"] = idx
+            out[rk + "_val"] = val
+        for k, dt in (("voxels" + sfx, np.float16),
+                      ("coords" + sfx, np.int16),
+                      ("num_points" + sfx, np.uint8)):
+            if k in out:
+                out[k] = np.asarray(out[k]).astype(dt)
+    return out
+
+
+def unpack_batch(batch: dict) -> dict:
+    """In-graph inverse of ``pack_batch`` (no-op on unpacked batches)."""
+    out = dict(batch)
+    for sfx in ("", "_raw"):
+        ik = f"reg_targets{sfx}_idx"
+        if ik in out:
+            idx = out.pop(ik)
+            val = out.pop(f"reg_targets{sfx}_val")
+            a = out["labels" + sfx].shape[-1]
+            code = val.shape[-1]
+            # pad rows carry idx == a (out of bounds): dropped by scatter
+            dense = jnp.zeros(idx.shape[:-1] + (a, code), jnp.float32)
+            out[f"reg_targets{sfx}"] = jax.vmap(
+                lambda d, i, v: d.at[i].set(v, mode="drop"))(dense, idx, val)
+        lk = "labels" + sfx
+        if lk in out and out[lk].dtype != jnp.int32:
+            out[lk] = out[lk].astype(jnp.int32)
+        vk = "voxels" + sfx
+        if vk in out and out[vk].dtype != jnp.float32:
+            out[vk] = out[vk].astype(jnp.float32)
+        ck = "coords" + sfx
+        if ck in out and out[ck].dtype != jnp.int32:
+            out[ck] = out[ck].astype(jnp.int32)
+        nk = "num_points" + sfx
+        if nk in out and out[nk].dtype != jnp.int32:
+            out[nk] = out[nk].astype(jnp.int32)
+    return out
+
+
 def _squeeze_rulebooks(rb):
     """Loader-built rulebooks (data/rulebooks.py) carry a leading
     ``num_shards`` axis that shard_map reduces to 1 per device — drop it.
@@ -128,6 +209,7 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig = LossConfig(),
         return preds, updates["batch_stats"]
 
     def train_step(state: TrainState, batch, consistency_weight):
+        batch = unpack_batch(batch)  # no-op unless pack_batch compressed it
         b = batch["voxels"].shape[0]
         stu_inputs = _flatten_voxels(batch)
         # optional loader-built (host C++) rulebook chains — they are pure

@@ -21,7 +21,8 @@ from ..parallel.mesh import (DATA_AXIS, make_mesh, make_sharded_train_step,
                              replicate, shard_batch)
 from ..utils import checkpoint as ckpt
 from ..utils.logging import LogBuffer, TextLogger, get_root_logger
-from .train_step import TrainState, create_train_state, make_train_step, sigmoid_rampup
+from .train_step import (TrainState, create_train_state, make_train_step,
+                         pack_batch, sigmoid_rampup)
 
 
 def _device_batch(batch: dict, anchors: Optional[np.ndarray] = None) -> dict:
@@ -165,6 +166,7 @@ class Trainer:
         self._snapshot_run_context()
         self.anchors_np = self.train_dataset.anchors.astype(np.float32)
         self.anchors = jnp.asarray(self.anchors_np)
+        self._anchors_dev = None  # [B, A, 7] device-resident train constant
         self._eval_fn = None
         # host rulebooks for eval batches: enables the fused serving plan.
         # Under a (single-host) mesh the chains are built per shard with a
@@ -263,6 +265,12 @@ class Trainer:
               if cfg.log_config.get("tensorboard", False) else None)
         lr_fn = self.lr_fn
         rampup = cfg.get("consistency_rampup_epochs", 15.0)
+        # host-mirrored global step: int(state.step) is a device readback
+        # (~190 ms RTT through the axon tunnel) — never pay it per step
+        host_step = int(jax.device_get(self.state.step))
+        # interval accumulators for amortized timing (the loop below only
+        # synchronizes with the device at log cadence)
+        t_int, int_data, int_n = time.time(), 0.0, 0
 
         while self.epoch < total_epochs:
             self.train_loader.set_epoch(self.epoch)
@@ -272,28 +280,63 @@ class Trainer:
             for it, batch in enumerate(self.train_loader):
                 self._log_train_fallbacks(batch)
                 self._check_train_saturation(batch)
-                db = _device_batch(batch, self.anchors_np)
+                if cfg.data.get("pack_targets", True):
+                    # wire compression (sparse reg_targets, int8 labels,
+                    # f16 voxels — see train_step.pack_batch): ~52 -> ~9 MB
+                    # H2D per step at full scale
+                    batch = pack_batch(batch)
                 if self.mesh is not None:
+                    db = _device_batch(batch, self.anchors_np)
                     db = shard_batch(db, self.mesh)
+                else:
+                    # anchors are a CONSTANT grid: stage them on device once
+                    # instead of shipping ~B*A*7 floats every step (15.8 MB
+                    # at full scale — seconds through the axon tunnel, and
+                    # wasted PCIe on any host)
+                    db = _device_batch(batch)
+                    if self._anchors_dev is None or (
+                            self._anchors_dev.shape[0]
+                            != batch["voxels"].shape[0]):
+                        b = batch["voxels"].shape[0]
+                        self._anchors_dev = jax.device_put(
+                            np.broadcast_to(
+                                self.anchors_np.astype(np.float32),
+                                (b,) + self.anchors_np.shape).copy())
+                    db["anchors"] = self._anchors_dev
                 data_time = time.time() - t_data
-                t0 = time.time()
                 if not getattr(self, "_step_compiled", False):
                     self._compile_and_sync(db, cw)
+                    t_int, int_data, int_n = time.time(), 0.0, 0
                 self.state, metrics = self.train_step(
                     self.state, db, jnp.float32(cw))
-                metrics["loss"].block_until_ready()
-                step_time = time.time() - t0
-                buf.update({k: v for k, v in metrics.items()
-                            if np.ndim(v) == 0})
-                avg = buf.average(10)
-                mem = device_memory_stats()
-                if mem.get("peak_bytes_in_use"):
-                    avg["peak_hbm_gb"] = mem["peak_bytes_in_use"] / 2 ** 30
-                text.step(self.epoch + 1, it, iters_per_epoch, avg,
-                          lr=float(lr_fn(int(self.state.step))),
-                          data_time=data_time, step_time=step_time)
-                if tb is not None:
-                    tb.log(avg, int(self.state.step))
+                host_step += 1
+                int_data += data_time
+                int_n += 1
+                if text.will_log():
+                    # the ONLY per-interval device synchronization: one bulk
+                    # readback of all ~30 scalar metrics. Anything per-step
+                    # (per-scalar float(), int(state.step), lr_fn on the
+                    # device, memory_stats) costs a ~190 ms RTT through the
+                    # axon tunnel and would dominate the step; between log
+                    # points the loop free-runs and XLA queues the steps.
+                    metrics = jax.device_get(metrics)
+                    now = time.time()
+                    step_time = max((now - t_int) / int_n
+                                    - int_data / int_n, 0.0)
+                    buf.update({k: v for k, v in metrics.items()
+                                if np.ndim(v) == 0})
+                    avg = buf.average(10)
+                    mem = device_memory_stats()
+                    if mem.get("peak_bytes_in_use"):
+                        avg["peak_hbm_gb"] = mem["peak_bytes_in_use"] / 2 ** 30
+                    text.step(self.epoch + 1, it, iters_per_epoch, avg,
+                              lr=float(jax.device_get(lr_fn(host_step))),
+                              data_time=int_data / int_n, step_time=step_time)
+                    if tb is not None:
+                        tb.log(avg, host_step)
+                    t_int, int_data, int_n = time.time(), 0.0, 0
+                else:
+                    text.step(self.epoch + 1, it, iters_per_epoch, {})
                 t_data = time.time()
             self.epoch += 1
             if getattr(self, "_sat_batches", 0):

@@ -113,6 +113,11 @@ class TextLogger:
         self.done = 0
         self.json_path = pathlib.Path(json_path) if json_path else None
 
+    def will_log(self) -> bool:
+        """True when the NEXT step() call will emit a log line — lets the
+        caller skip per-step costs (device RPCs) that only feed log lines."""
+        return (self.done + 1) % self.interval == 0
+
     def step(self, epoch, it, iters_per_epoch, metrics: dict,
              lr: float = 0.0, data_time: float = 0.0, step_time: float = 0.0):
         self.done += 1
@@ -133,6 +138,8 @@ class TextLogger:
             f"data_time: {data_time:.3f}, step_time: {step_time:.3f}, {parts}")
         if self.json_path:
             with open(self.json_path, "a") as f:
-                rec = dict(epoch=epoch, iter=it + 1, lr=lr, **{
-                    k: float(v) for k, v in metrics.items()})
+                rec = dict(epoch=epoch, iter=it + 1, lr=lr,
+                           data_time=round(data_time, 4),
+                           step_time=round(step_time, 4), **{
+                               k: float(v) for k, v in metrics.items()})
                 f.write(json.dumps(rec) + "\n")
