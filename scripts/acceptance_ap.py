@@ -366,7 +366,11 @@ def main(n_train=128, n_val=32, cia_epochs=100, sessd_epochs=75,
                         shutil.copy(p, os.path.join(dst, f"{tag}_{name}"))
         except Exception:
             pass
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.environ.get("SESSD_ACCEPT_KEEP"):
+            print(f"keeping artifacts in {tmp} (SESSD_ACCEPT_KEEP)",
+                  flush=True)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ def _ray_box_t(origins, dirs, box):
     # rotate into the box frame
     ox = origins[:, 0] - cx
     oy = origins[:, 1] - cy
-    oz = origins[:, 2] - (cz + h / 2.0)  # gravity center -> geometric center
+    oz = origins[:, 2] - (cz + h / 2.0)  # bottom face -> geometric center
     rox = c * ox - s * oy
     roy = s * ox + c * oy
     rdx = c * dirs[:, 0] - s * dirs[:, 1]
