@@ -31,6 +31,21 @@ def main(tmp, tag="sessd", max_frames=32, use_ema=False):
     trainer.resume()
     print(f"[analyze] resumed {tag} at epoch {trainer.epoch}", flush=True)
 
+    # lidar-frame GT per image_idx (val batches carry no GT; the eval path
+    # reads camera annos from the infos — mirror that here)
+    from sessd_tpu.core import box_np
+    gt_by_idx = {}
+    for info in trainer.val_dataset.infos:
+        annos, calib = info["annos"], info["calib"]
+        keep = np.array([n == "Car" for n in annos["name"]], bool)
+        cam = np.concatenate([
+            annos["location"][keep], annos["dimensions"][keep],
+            annos["rotation_y"][keep][:, None]], axis=1)
+        gt = box_np.box_camera_to_lidar(
+            cam, calib["R0_rect"], calib["Tr_velo_to_cam"])
+        gt[:, 2] += gt[:, 5] / 2  # bottom -> gravity center (pipeline.py:144)
+        gt_by_idx[info["image"]["image_idx"]] = gt
+
     if trainer._eval_fn is None:
         trainer._eval_fn = trainer._build_eval_fn(use_ema)
     params = jax.device_get(
@@ -65,7 +80,7 @@ def main(tmp, tag="sessd", max_frames=32, use_ema=False):
             valid = dets["valid"][i]
             boxes = dets["box3d_lidar"][i][valid]
             scores = dets["scores"][i][valid]
-            gt = batch["gt_boxes"][i][: int(batch["num_gt"][i])]
+            gt = gt_by_idx[batch["metadata"][i]["image_idx"]]
             n_gt += len(gt)
             n_det += len(boxes)
             if not len(gt) or not len(boxes):

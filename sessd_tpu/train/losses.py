@@ -114,6 +114,27 @@ class ConsistencyConfig(NamedTuple):
     post_center_range: tuple = (0.0, -40.0, -5.0, 70.4, 40.0, 5.0)
 
 
+def _decode_bounded(preds, anchors):
+    """``second_box_decode`` with the dim logits clamped to ±10 BEFORE the
+    exp. The box-space clips downstream (±200 m / 30 m) bound the VALUE,
+    but on their own they leave a 0·inf VJP: for a logit past ~88.7,
+    exp() is inf, the clip passes a zero cotangent, and zero × inf = NaN
+    in the gradient while the loss stays finite. Observed at the SE-SSD
+    warm start (r5 calibration, ACCEPTANCE.json): the consistency path
+    decodes ALL anchors, and a handful of background anchors — whose box
+    regression no loss term ever constrains — had drifted to dim logits
+    of ~108 after the 2048-step CIA pretrain, so the very first SSL step
+    produced finite losses and NaN grads, destroying the Adam state.
+    exp(±10) is finite and far outside [1e-2, 30], so the forward is
+    bit-identical to the unclamped decode wherever the box-space clip
+    binds — this changes gradients only where they were NaN.
+    """
+    preds = jnp.concatenate([
+        preds[..., :3], jnp.clip(preds[..., 3:6], -10.0, 10.0),
+        preds[..., 6:]], axis=-1)
+    return box_jax.second_box_decode(preds, anchors)
+
+
 def _transform_teacher_boxes(boxes, flipped, noise_rotation, noise_scale):
     """Replay the student's recorded global augmentation on teacher boxes
     (mg_head_sessd.py:666-674): flip y / mirror heading, rotate about z,
@@ -210,8 +231,8 @@ def consistency_loss(preds_stu, preds_tea, anchors, transformation,
     Returns (consistency_total, dir_term) scalars; total =
     (box + cls + iou) / batch as in mg_head_sessd.py:704.
     """
-    boxes_stu = box_jax.second_box_decode(preds_stu["box_preds"], anchors)
-    boxes_tea = box_jax.second_box_decode(preds_tea["box_preds"], anchors)
+    boxes_stu = _decode_bounded(preds_stu["box_preds"], anchors)
+    boxes_tea = _decode_bounded(preds_tea["box_preds"], anchors)
 
     # bound the decoded geometry for the loss: second_box_decode applies
     # exp() to the dim logits, so a random-init net can emit km-sized
@@ -310,7 +331,7 @@ def detection_loss(preds, batch, cfg: LossConfig = LossConfig(),
     take = lambda x: jnp.take_along_axis(x, pos_idx[..., None], axis=1)
     pos_anchors = take(anchors)
     pos_w = jnp.take_along_axis(reg_w, pos_idx, axis=1) * pos_mask
-    qboxes = box_jax.second_box_decode(take(box_preds), pos_anchors)
+    qboxes = _decode_bounded(take(box_preds), pos_anchors)
     gboxes = box_jax.second_box_decode(take(reg_targets), pos_anchors)
     # bound the PREDICTED geometry only (targets decode to real boxes):
     # exp() dim decode of a random-init net can emit km-sized boxes that

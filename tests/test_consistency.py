@@ -93,3 +93,91 @@ def test_consistency_loss_zero_for_consistent_pair(rng):
         preds_stu, preds_tea2, jnp.asarray(anchors)[None],
         trans, ConsistencyConfig(top_k=64))
     assert float(total2) > float(total) + 1e-3
+
+
+def test_consistency_grad_finite_with_runaway_dim_logit(rng):
+    """Regression (r5 acceptance NaN): background anchors' box regression is
+    unconstrained by any loss term, and after a real pretrain a few had dim
+    logits ~108 -> exp() inf. The box-space clip bounds the VALUE but its
+    zero cotangent times exp's inf residual made the whole gradient NaN on
+    the very first warm-started SE-SSD step (finite loss, NaN grads).
+    _decode_bounded clamps the logits pre-exp; grads must stay finite and
+    the loss value must be unchanged."""
+    import jax
+    import jax.numpy as jnp
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+    from sessd_tpu.train.losses import ConsistencyConfig, consistency_loss
+
+    anchors = create_anchors_3d_range(
+        [1, 10, 10], [0, -40, -1.0, 70.4, 40, -1.0]).reshape(-1, 7).astype(
+            np.float32)
+    a = anchors.shape[0]
+    rngs = np.random.RandomState(5)
+    box = rngs.uniform(-0.1, 0.1, (1, a, 7)).astype(np.float32)
+    cls = np.full((1, a, 1), 3.0, np.float32)
+    base = {"cls_preds": jnp.asarray(cls),
+            "dir_cls_preds": jnp.zeros((1, a, 2), jnp.float32),
+            "iou_preds": jnp.zeros((1, a, 1), jnp.float32)}
+    trans = dict(flipped=jnp.asarray([False]),
+                 noise_rotation=jnp.zeros(1, jnp.float32),
+                 noise_scale=jnp.ones(1, jnp.float32))
+    cfg = ConsistencyConfig(top_k=64)
+
+    def total(bp_stu):
+        ps = dict(base, box_preds=bp_stu)
+        pt = dict(base, box_preds=jnp.asarray(box))
+        t, _ = consistency_loss(ps, pt, jnp.asarray(anchors)[None], trans, cfg)
+        return t
+
+    ref = float(total(jnp.asarray(box)))
+
+    bad = box.copy()
+    bad[0, 17, 4] = 108.5  # the observed runaway logit: exp() overflows f32
+    val, g = jax.value_and_grad(total)(jnp.asarray(bad))
+    assert np.isfinite(np.asarray(g)).all(), "NaN/inf in consistency grad"
+    # the runaway anchor decodes to the 30 m clip either way: value unchanged
+    np.testing.assert_allclose(float(val), ref, rtol=1e-5)
+
+    # teacher-side runaway must not poison the student grad either
+    def total_tea(bp_stu):
+        ps = dict(base, box_preds=bp_stu)
+        pt = dict(base, box_preds=jnp.asarray(bad))
+        t, _ = consistency_loss(ps, pt, jnp.asarray(anchors)[None], trans, cfg)
+        return t
+
+    _, g2 = jax.value_and_grad(total_tea)(jnp.asarray(box))
+    assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_detection_loss_grad_finite_with_runaway_dim_logit(rng):
+    """Same trap class on the supervised path: a POSITIVE anchor whose pred
+    dim logit overflows exp must not NaN the ODIoU/iou-pred gradients."""
+    import jax
+    import jax.numpy as jnp
+    from sessd_tpu.core.anchors import create_anchors_3d_range
+    from sessd_tpu.train.losses import LossConfig, detection_loss
+
+    anchors = create_anchors_3d_range(
+        [1, 6, 6], [0, -40, -1.0, 70.4, 40, -1.0]).reshape(-1, 7).astype(
+            np.float32)
+    a = anchors.shape[0]
+    labels = np.zeros((1, a), np.int32)
+    labels[0, 3] = 1
+    reg_t = np.zeros((1, a, 7), np.float32)
+    reg_t[0, 3] = [0.1, -0.1, 0.05, 0.02, -0.02, 0.01, 0.1]
+
+    def total(bp):
+        preds = {"box_preds": bp,
+                 "cls_preds": jnp.zeros((1, a, 1), jnp.float32),
+                 "dir_cls_preds": jnp.zeros((1, a, 2), jnp.float32),
+                 "iou_preds": jnp.zeros((1, a, 1), jnp.float32)}
+        batch = {"anchors": jnp.asarray(anchors)[None],
+                 "labels": jnp.asarray(labels),
+                 "reg_targets": jnp.asarray(reg_t)}
+        t, _ = detection_loss(preds, batch, LossConfig(max_positive_anchors=8))
+        return t
+
+    bad = np.zeros((1, a, 7), np.float32)
+    bad[0, 3, 5] = 108.5
+    _, g = jax.value_and_grad(total)(jnp.asarray(bad))
+    assert np.isfinite(np.asarray(g)).all(), "NaN/inf in detection grad"
