@@ -60,6 +60,11 @@ model = dict(
         encode_rad_error_by_sin=True,
         loss_aux=dict(type="WeightedSoftmaxClassificationLoss", loss_weight=0.2),
         direction_offset=0.0,
+        # stage A trains the classic sin-encoded SmoothL1 (mg_head.py:616,
+        # the loss the CIA-SSD warm-start producer uses); ODIoU is only ever
+        # optimized from a warm start in the reference (losses.LossConfig
+        # .reg_loss) — from scratch it plateaus in a 90-deg yaw local optimum
+        reg_loss="{REG}",
     ),
 )
 target_assigner = dict(
@@ -207,6 +212,7 @@ def run_stage(tag, tmp, root, ssl, epochs, val_interval, ckpt_interval,
     text = (CONFIG.replace("{ROOT}", root)
             .replace("{WORK}", work)
             .replace("{SSL}", str(bool(ssl)))
+            .replace("{REG}", "odiou" if ssl else "smooth_l1")
             .replace("{EPOCHS}", str(epochs))
             .replace("{CKPT_INT}", str(ckpt_interval))
             .replace("{VALINT}", str(val_interval)))

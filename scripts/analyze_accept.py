@@ -122,10 +122,17 @@ def main(tmp, tag="sessd", max_frames=32, use_ema=False):
         print(f"BEV IoU of matches: mean {ious.mean():.3f}, "
               f"p50 {np.median(ious):.3f}, "
               f">=0.7: {(ious >= 0.7).mean():.3f}")
+        hist, edges = np.histogram(np.abs(errs[:, 6]),
+                                   bins=[0, .1, .2, .4, .8, 1.2, 1.6])
+        print("  |dyaw| histogram", dict(zip(
+            [f"<{e:.1f}" for e in edges[1:]], hist.tolist())))
     if scores_matched:
-        print(f"scores: matched mean {np.mean(scores_matched):.3f}, "
-              f"FP mean {np.mean(scores_fp) if scores_fp else 0:.3f}, "
-              f"n_fp {len(scores_fp)}")
+        fp_mean = float(np.mean(scores_fp)) if scores_fp else 0.0
+        print(f"scores: matched mean {float(np.mean(scores_matched)):.3f}, "
+              f"FP mean {fp_mean:.3f}, n_fp {len(scores_fp)}")
+    np.savez(f"/tmp/analyze_{tag}_errs.npz", errs=errs, ious=ious,
+             scores_matched=np.asarray(scores_matched, np.float64),
+             scores_fp=np.asarray(scores_fp, np.float64))
 
 
 if __name__ == "__main__":

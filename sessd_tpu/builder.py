@@ -225,6 +225,7 @@ def build_loss_config(cfg) -> LossConfig:
         focal_gamma=h["loss_cls"].get("gamma", 2.0),
         smooth_l1_sigma=h["loss_bbox"].get("sigma", 3.0),
         direction_offset=h.get("direction_offset", 0.0),
+        reg_loss=h.get("reg_loss", "odiou"),
         consistency=ConsistencyConfig(
             score_thresh=tc.get("score_threshold", 0.3),
             post_center_range=tuple(tc["post_center_limit_range"]),

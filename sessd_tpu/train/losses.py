@@ -273,6 +273,16 @@ class LossConfig(NamedTuple):
     smooth_l1_sigma: float = 3.0
     direction_offset: float = 0.0
     max_positive_anchors: int = 256
+    # which regression term the TOTAL sums: "odiou" (SE-SSD,
+    # mg_head_sessd.py:781) or "smooth_l1" (the sin-encoded SmoothL1 of the
+    # plain head, mg_head.py:616-627 — the loss CIA-SSD pretrains with).
+    # ODIoU is non-convex in yaw (zero-gradient local optimum at 90 deg for
+    # near-square overlaps) and the reference NEVER optimizes it from
+    # random init: its SE-SSD always warm-starts from a SmoothL1-trained
+    # CIA-SSD checkpoint. Training stage A with ODIoU instead plateaus at
+    # BEV IoU ~0.56 with a 90-deg yaw-error subpopulation (r5 calibration,
+    # scripts/analyze_accept.py).
+    reg_loss: str = "odiou"
     consistency: ConsistencyConfig = ConsistencyConfig()
 
 
@@ -357,7 +367,9 @@ def detection_loss(preds, batch, cfg: LossConfig = LossConfig(),
     else:
         ious_loss = jnp.float32(0.0)
 
-    total = cls_loss_reduced + ious_loss + dir_loss_reduced + iou_pred_loss
+    # regression term of the TOTAL: see LossConfig.reg_loss
+    reg_term = ious_loss if cfg.reg_loss == "odiou" else loc_loss_reduced
+    total = cls_loss_reduced + reg_term + dir_loss_reduced + iou_pred_loss
 
     cls_loss_anchor = jnp.sum(cls_loss, axis=-1)  # [B, A] over classes
     pos_sum = jnp.sum((labels > 0).astype(jnp.float32) * cls_loss_anchor) / b
