@@ -25,12 +25,24 @@ def _ray_box_t(origins, dirs, box):
     """Smallest positive hit parameter t of rays against one rotated box.
 
     box: (cx, cy, z_bottom, w, l, h, yaw) — z is the BOTTOM-face height
-    (the code shifts by +h/2 to the geometric center below); w along y in
-    box frame, l along x. Returns [R] t (inf = miss).
+    (the code shifts by +h/2 to the geometric center below). The BEV
+    convention is the framework-wide one (core/box_np.py corners_nd /
+    points_in_rbbox): at yaw 0 the width w lies along x and the length l
+    along y; positive yaw rotates the box CLOCKWISE (local->global is
+    px = u*cos + v*sin, py = -u*sin + v*cos). Returns [R] t (inf = miss).
+
+    HISTORY: until r5 this function used its own convention (l along x,
+    CCW-positive yaw), so the points it cast for a car at yaw θ actually
+    occupied the framework box at yaw π/2 − θ — every synthetic KITTI
+    label's yaw was wrong by (2θ − π/2) mod π, uniformly diffuse. That
+    single mismatch made yaw regression unlearnable (train-split AP40 3D
+    never passed ~14) while centers/dims stayed tight. Guarded by
+    tests/test_synth_yaw.py.
     """
     cx, cy, cz, w, l, h, yaw = box
-    c, s = np.cos(-yaw), np.sin(-yaw)
-    # rotate into the box frame
+    c, s = np.cos(yaw), np.sin(yaw)
+    # rotate into the box frame: (u, v) = R(yaw)^T-style inverse of the
+    # framework local->global map (u = x*c - y*s, v = x*s + y*c)
     ox = origins[:, 0] - cx
     oy = origins[:, 1] - cy
     oz = origins[:, 2] - (cz + h / 2.0)  # bottom face -> geometric center
@@ -38,7 +50,7 @@ def _ray_box_t(origins, dirs, box):
     roy = s * ox + c * oy
     rdx = c * dirs[:, 0] - s * dirs[:, 1]
     rdy = s * dirs[:, 0] + c * dirs[:, 1]
-    half = np.array([l / 2.0, w / 2.0, h / 2.0])
+    half = np.array([w / 2.0, l / 2.0, h / 2.0])
     o = np.stack([rox, roy, oz], 1)
     d = np.stack([rdx, rdy, dirs[:, 2]], 1)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -133,10 +145,12 @@ def make_scene(seed: int = 0, n_cars: int = 18, azimuth_step_deg: float = 0.17):
         boxes.append((cx, cy, GROUND_Z, w, l, h, yaw))
     boxes = np.asarray(boxes, dtype=np.float64)
 
-    # side walls (buildings) + scattered poles
+    # side walls (buildings) + scattered poles — road-parallel walls run
+    # along x, which is yaw pi/2 in the framework convention (length along
+    # y at yaw 0)
     walls = [
-        (35.0, -12.5, GROUND_Z, 0.4, 60.0, 4.0, 0.0),
-        (38.0, 13.0, GROUND_Z, 0.4, 70.0, 4.0, 0.05),
+        (35.0, -12.5, GROUND_Z, 0.4, 60.0, 4.0, np.pi / 2),
+        (38.0, 13.0, GROUND_Z, 0.4, 70.0, 4.0, np.pi / 2 + 0.05),
     ]
     poles = []
     for _ in range(14):

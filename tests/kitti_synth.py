@@ -122,11 +122,13 @@ def make_frame(root, idx, rng, num_cars=3, pts_per_car=150, ground_points=4000):
         boxes = np.array(boxes)
 
         # clutter: two building walls outside the car corridor + a few poles
+        # (length runs along +y at yaw 0 in the framework convention, so a
+        # road-parallel wall needs yaw ~= pi/2)
         walls = [
             (35.0, -rng.uniform(16.0, 20.0), GROUND_Z, 0.4, 60.0, 4.0,
-             rng.uniform(-0.05, 0.05)),
+             np.pi / 2 + rng.uniform(-0.05, 0.05)),
             (38.0, rng.uniform(16.0, 20.0), GROUND_Z, 0.4, 70.0, 4.0,
-             rng.uniform(-0.05, 0.05)),
+             np.pi / 2 + rng.uniform(-0.05, 0.05)),
         ]
         poles = []
         for _ in range(6):
